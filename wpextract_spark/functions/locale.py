@@ -1,0 +1,270 @@
+"""A small, self-contained BCP-47 implementation.
+
+The reference uses the ``langcodes`` package (``util/locale.py``,
+``parse/translations/_resolver.py:23``); that package is not available here,
+so this module implements the subset of behaviour the pipeline depends on:
+
+* syntactic parsing + registry validation of simple tags
+  (language[-script][-region][-variants][-extensions]),
+* normalization: ISO 639-2/3 -> 639-1 mapping, deprecated-tag replacement,
+  case canonicalization,
+* ``prefer_macrolanguage`` (e.g. ``cmn`` -> ``zh``),
+* ``simplify_script`` (drop a script that is the language's default,
+  e.g. ``en-Latn`` -> ``en``).
+
+The language registry embedded here covers all ISO 639-1 codes plus the
+common bibliographic/terminological 3-letter codes; unknown 3-letter codes
+are treated as invalid (documented divergence from the full IANA registry —
+it only affects URL-locale sniffing of exotic path segments, where "invalid"
+is the safe answer).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional
+from urllib.parse import urlparse
+
+from wpextract_spark.functions.text import remove_ends
+
+# All ISO 639-1 alpha-2 language codes.
+_ISO639_1 = frozenset(
+    "aa ab ae af ak am an ar as av ay az ba be bg bh bi bm bn bo br bs ca ce ch co cr cs cu cv cy "
+    "da de dv dz ee el en eo es et eu fa ff fi fj fo fr fy ga gd gl gn gu gv ha he hi ho hr ht hu "
+    "hy hz ia id ie ig ii ik io is it iu ja jv ka kg ki kj kk kl km kn ko kr ks ku kv kw ky la lb "
+    "lg li ln lo lt lu lv mg mh mi mk ml mn mr ms mt my na nb nd ne ng nl nn no nr nv ny oc oj om "
+    "or os pa pi pl ps pt qu rm rn ro ru rw sa sc sd se sg si sk sl sm sn so sq sr ss st su sv sw "
+    "ta te tg th ti tk tl tn to tr ts tt tw ty ug uk ur uz ve vi vo wa wo xh yi yo za zh zu".split()
+)
+
+# Common ISO 639-2/3 codes -> 639-1 (normalization maps 3-letter to 2-letter
+# when one exists, like langcodes does).
+_ISO639_3_TO_1 = {
+    "eng": "en", "fra": "fr", "fre": "fr", "deu": "de", "ger": "de", "spa": "es",
+    "ita": "it", "por": "pt", "nld": "nl", "dut": "nl", "rus": "ru", "jpn": "ja",
+    "zho": "zh", "chi": "zh", "ara": "ar", "hin": "hi", "ben": "bn", "kor": "ko",
+    "pol": "pl", "tur": "tr", "ukr": "uk", "vie": "vi", "tha": "th", "swe": "sv",
+    "dan": "da", "fin": "fi", "nor": "no", "ell": "el", "gre": "el", "ces": "cs",
+    "cze": "cs", "hun": "hu", "ron": "ro", "rum": "ro", "bul": "bg", "heb": "he",
+    "ind": "id", "msa": "ms", "may": "ms", "fas": "fa", "per": "fa", "urd": "ur",
+    "tam": "ta", "tel": "te", "mar": "mr", "guj": "gu", "kan": "kn", "mal": "ml",
+    "pan": "pa", "swa": "sw", "amh": "am", "hau": "ha", "yor": "yo", "ibo": "ig",
+    "zul": "zu", "afr": "af", "sqi": "sq", "alb": "sq", "hye": "hy", "arm": "hy",
+    "kat": "ka", "geo": "ka", "aze": "az", "bel": "be", "bos": "bs", "cat": "ca",
+    "hrv": "hr", "est": "et", "eus": "eu", "baq": "eu", "glg": "gl", "isl": "is",
+    "ice": "is", "gle": "ga", "lav": "lv", "lit": "lt", "mkd": "mk", "mac": "mk",
+    "mlt": "mt", "slk": "sk", "slo": "sk", "slv": "sl", "srp": "sr", "tgl": "tl",
+    "uzb": "uz", "kaz": "kk", "mon": "mn", "nep": "ne", "sin": "si", "khm": "km",
+    "lao": "lo", "mya": "my", "bur": "my",
+}
+
+# Valid 3-letter codes without a 2-letter equivalent (subset; includes the
+# codes exercised by the reference test suite, e.g. "don").
+_ISO639_3_VALID = frozenset(
+    "ast fil hak haw ilo jbo kab lus nan pap scn tpi war wuu yue arz ckb prs pnb don "
+    "grc lat ang enm fro gmh goh non peo san pli arc cop egy sux akk hit arn ace ban "
+    "bho bug ceb gan hmn kri lmo mad min mwl nds nso pag pam pms sah szl tet tum vec".split()
+)
+
+# Macrolanguage preference (langcodes Language.prefer_macrolanguage()).
+_MACROLANGUAGE = {
+    "cmn": "zh", "yue": "yue",  # yue has no preferred macrolanguage mapping in practice
+    "arb": "ar", "apd": "ar", "zsm": "ms", "pes": "fa", "ekk": "et", "lvs": "lv",
+    "knn": "kok", "npi": "ne", "ory": "or", "swh": "sw", "uzn": "uz", "azj": "az",
+    "plt": "mg", "quz": "qu", "als": "sq",
+}
+
+# Deprecated tags replaced during normalization (langcodes normalize=True).
+_DEPRECATED = {
+    "iw": "he", "in": "id", "ji": "yi", "mo": "ro", "jw": "jv", "sh": "sr-Latn",
+}
+
+# ISO 15924 script codes the validator recognizes.
+_SCRIPTS = frozenset(
+    "adlm arab armn avst bali bamu batk beng bopo brah brai bugi buhd cakm cans cari cham cher "
+    "copt cprt cyrl deva dsrt egyp ethi geor glag goth gran grek gujr guru hang hani hano hans "
+    "hant hebr hira hluw hmng hung ital java jpan kali kana khar khmr knda kore lana laoo latn "
+    "lepc limb linb lisu lyci lydi mand merc mero mlym mong mtei mymr nkoo ogam olck orkh orya "
+    "osma phag phli phnx plrd prti rjng runr samr sarb saur shaw sinh sund sylo syrc tagb tale "
+    "talu taml tavt telu tfng tglg thaa thai tibt ugar vaii xpeo xsux yiii zinh zsym zxxx zyyy".split()
+)
+
+# Default (suppress-script / likely) script per language, for simplify_script.
+_DEFAULT_SCRIPT = {
+    # Latin-script languages (Suppress-Script: Latn in the IANA registry)
+    **{lang: "latn" for lang in (
+        "af ca cs cy da de en es et eu fi fo fr fy ga gl gv hr hu id is it la lb lt lv ms mt "
+        "nb nl nn no pl pt rm ro sk sl sq sv sw tl tr vi eo ha ht ay gn jv rn rw sm sn so ss "
+        "st su tn to ts xh yo zu".split()
+    )},
+    "ru": "cyrl", "uk": "cyrl", "be": "cyrl", "bg": "cyrl", "mk": "cyrl", "mn": "cyrl",
+    "ar": "arab", "fa": "arab", "ur": "arab", "ps": "arab",
+    "he": "hebr", "yi": "hebr",
+    "el": "grek", "hy": "armn", "ka": "geor",
+    "hi": "deva", "mr": "deva", "ne": "deva", "sa": "deva",
+    "bn": "beng", "as": "beng", "pa": "guru", "gu": "gujr", "or": "orya",
+    "ta": "taml", "te": "telu", "kn": "knda", "ml": "mlym", "si": "sinh",
+    "th": "thai", "lo": "laoo", "my": "mymr", "km": "khmr",
+    "ko": "kore", "ja": "jpan", "zh": "hans", "am": "ethi", "ti": "ethi", "bo": "tibt",
+    "dz": "tibt",
+}
+
+_ALPHA = re.compile(r"^[a-zA-Z]+$")
+_DIGITS = re.compile(r"^[0-9]+$")
+_ALNUM = re.compile(r"^[a-zA-Z0-9]+$")
+
+
+class ParsedTag:
+    """A parsed BCP-47 tag."""
+
+    __slots__ = ("language", "script", "region", "variants", "extensions", "private")
+
+    def __init__(
+        self,
+        language: str,
+        script: Optional[str],
+        region: Optional[str],
+        variants: list[str],
+        extensions: list[str],
+        private: list[str],
+    ) -> None:
+        self.language = language
+        self.script = script
+        self.region = region
+        self.variants = variants
+        self.extensions = extensions
+        self.private = private
+
+    def to_tag(self) -> str:
+        parts = [self.language]
+        if self.script:
+            parts.append(self.script.title())
+        if self.region:
+            parts.append(self.region.upper())
+        parts.extend(self.variants)
+        parts.extend(self.extensions)
+        parts.extend(self.private)
+        return "-".join(parts)
+
+
+def parse_tag(tag: str) -> Optional[ParsedTag]:
+    """Parse ``tag``; return None if syntactically/registrationally invalid."""
+    if not tag:
+        return None
+    subtags = tag.lower().split("-")
+    lang = subtags[0]
+    if not _ALPHA.match(lang):
+        return None
+    if len(lang) == 2:
+        if lang not in _ISO639_1:
+            return None
+    elif len(lang) == 3:
+        if not (lang in _ISO639_3_TO_1 or lang in _ISO639_3_VALID or lang in _MACROLANGUAGE):
+            return None
+    else:
+        return None
+
+    script: Optional[str] = None
+    region: Optional[str] = None
+    variants: list[str] = []
+    extensions: list[str] = []
+    private: list[str] = []
+    i = 1
+    n = len(subtags)
+
+    if i < n and len(subtags[i]) == 4 and _ALPHA.match(subtags[i]):
+        if subtags[i] not in _SCRIPTS:
+            return None
+        script = subtags[i]
+        i += 1
+    if i < n and (
+        (len(subtags[i]) == 2 and _ALPHA.match(subtags[i]))
+        or (len(subtags[i]) == 3 and _DIGITS.match(subtags[i]))
+    ):
+        region = subtags[i]
+        i += 1
+    while i < n and (
+        (5 <= len(subtags[i]) <= 8 and _ALNUM.match(subtags[i]))
+        or (len(subtags[i]) == 4 and subtags[i][0].isdigit() and _ALNUM.match(subtags[i]))
+    ):
+        variants.append(subtags[i])
+        i += 1
+    # Extensions: singleton (not 'x') followed by 2-8 char subtags.
+    while i < n and len(subtags[i]) == 1 and subtags[i] != "x":
+        ext = [subtags[i]]
+        i += 1
+        if i >= n or not (2 <= len(subtags[i]) <= 8 and _ALNUM.match(subtags[i])):
+            return None
+        while i < n and 2 <= len(subtags[i]) <= 8 and _ALNUM.match(subtags[i]) and len(subtags[i]) != 1:
+            ext.append(subtags[i])
+            i += 1
+        extensions.append("-".join(ext))
+    # Private use.
+    if i < n and subtags[i] == "x":
+        rest = subtags[i:]
+        if any(not (1 <= len(s) <= 8 and _ALNUM.match(s)) for s in rest[1:]) or len(rest) == 1:
+            return None
+        private.append("-".join(rest))
+        i = n
+    if i != n:
+        return None
+    return ParsedTag(lang, script, region, variants, extensions, private)
+
+
+def tag_is_valid(tag: str) -> bool:
+    """True if the tag parses and all subtags pass registry checks."""
+    return parse_tag(tag) is not None
+
+
+def normalize_tag(
+    tag: str,
+    prefer_macrolanguage: bool = False,
+    simplify_script: bool = False,
+) -> Optional[str]:
+    """Normalize a tag: 3->2 letter language, deprecated replacement, casing.
+
+    Returns None if the tag is invalid.
+    """
+    parsed = parse_tag(tag)
+    if parsed is None:
+        return None
+    lang = parsed.language
+    lang = _ISO639_3_TO_1.get(lang, lang)
+    if prefer_macrolanguage:
+        lang = _MACROLANGUAGE.get(lang, lang)
+        lang = _ISO639_3_TO_1.get(lang, lang)
+    replacement = _DEPRECATED.get(lang)
+    if replacement and "-" in replacement:
+        rep_lang, rep_script = replacement.split("-", 1)
+        lang = rep_lang
+        if parsed.script is None:
+            parsed.script = rep_script.lower()
+    elif replacement:
+        lang = replacement
+    parsed.language = lang
+    if simplify_script and parsed.script is not None:
+        if _DEFAULT_SCRIPT.get(lang) == parsed.script:
+            parsed.script = None
+    return parsed.to_tag()
+
+
+#: Path segments never treated as locales (reference ``util/locale.py:8`` —
+#: "tag" pages would otherwise parse as the Tagoi language).
+_EXCLUDED_SEGMENTS = frozenset({"tag"})
+
+
+def extract_locale(link: str) -> Optional[str]:
+    """Locale from the first URL path segment, standardized; else None.
+
+    Mirrors ``util/locale.py:11-45``: the segment must be a valid BCP-47 tag,
+    not excluded, and carry no extension subtags (extension-bearing parses of
+    slugs like ``don-t-let-...`` are rejected as mis-parses).
+    """
+    path = urlparse(link).path
+    first = remove_ends(path, "/").split("/")[0]
+    parsed = parse_tag(first)
+    if parsed is None or first.lower() in _EXCLUDED_SEGMENTS:
+        return None
+    if parsed.extensions:
+        return None
+    return normalize_tag(first, prefer_macrolanguage=True, simplify_script=True)

@@ -1,0 +1,156 @@
+"""A tiny CSS selector engine over :mod:`wpextract_spark.htmlkit.dom`.
+
+Supports exactly the selector features the language-picker plugin API uses
+(reference picker selectors at ``parse/translations/_pickers.py:196-263``):
+
+* type selectors (``a``, ``li``), ``*``
+* class selectors (``.lang-item``), compounded (``.lang-item.current-lang``)
+* id selectors (``#polylang``)
+* ``:not(<compound>)``
+* descendant combinator (whitespace) and child combinator (``>``)
+
+Matching semantics follow CSS/soupsieve: ``select(context, sel)`` returns
+strict descendants of ``context`` in document order; ancestor compounds may
+match any ancestor up to the document root.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Optional
+
+from wpextract_spark.htmlkit.dom import Tag
+
+_TOKEN = re.compile(
+    r"""
+    (?P<name>[a-zA-Z][a-zA-Z0-9_-]*|\*)
+  | \.(?P<cls>[a-zA-Z0-9_-]+)
+  | \#(?P<id>[a-zA-Z0-9_-]+)
+  | :not\((?P<not>[^)]*)\)
+    """,
+    re.VERBOSE,
+)
+
+
+@dataclass
+class _Compound:
+    name: Optional[str] = None
+    classes: frozenset[str] = field(default_factory=frozenset)
+    id: Optional[str] = None
+    nots: tuple["_Compound", ...] = ()
+
+
+class SelectorError(ValueError):
+    pass
+
+
+def _parse_compound(text: str) -> _Compound:
+    name: Optional[str] = None
+    classes: set[str] = set()
+    tag_id: Optional[str] = None
+    nots: list[_Compound] = []
+    pos = 0
+    while pos < len(text):
+        m = _TOKEN.match(text, pos)
+        if m is None:
+            raise SelectorError(f"Unsupported selector syntax at {text[pos:]!r}")
+        if m.group("name"):
+            if pos != 0:
+                raise SelectorError(f"Type selector must come first in {text!r}")
+            if m.group("name") != "*":
+                name = m.group("name").lower()
+        elif m.group("cls"):
+            classes.add(m.group("cls"))
+        elif m.group("id"):
+            tag_id = m.group("id")
+        else:
+            nots.append(_parse_compound(m.group("not").strip()))
+        pos = m.end()
+    return _Compound(name=name, classes=frozenset(classes), id=tag_id, nots=tuple(nots))
+
+
+def _parse_selector(selector: str) -> list[tuple[str, _Compound]]:
+    """Parse into a list of (combinator, compound); the first combinator is
+    always the descendant combinator relative to the context node."""
+    # Normalize child combinators so they split into their own tokens.
+    tokens = selector.replace(">", " > ").split()
+    parts: list[tuple[str, _Compound]] = []
+    combinator = " "
+    for token in tokens:
+        if token == ">":
+            if not parts:
+                raise SelectorError(f"Selector cannot start with '>': {selector!r}")
+            combinator = ">"
+            continue
+        parts.append((combinator, _parse_compound(token)))
+        combinator = " "
+    if combinator == ">":
+        raise SelectorError(f"Dangling '>' in selector: {selector!r}")
+    if not parts:
+        raise SelectorError(f"Empty selector: {selector!r}")
+    return parts
+
+
+def _classes_of(tag: Tag) -> frozenset[str]:
+    raw = tag.attrs.get("class")
+    if not raw:
+        return frozenset()
+    return frozenset(raw.split())
+
+
+def _match_compound(tag: Tag, comp: _Compound) -> bool:
+    if comp.name is not None and tag.name != comp.name:
+        return False
+    if comp.classes and not comp.classes <= _classes_of(tag):
+        return False
+    if comp.id is not None and tag.attrs.get("id") != comp.id:
+        return False
+    for neg in comp.nots:
+        if _match_compound(tag, neg):
+            return False
+    return True
+
+
+def _match_chain(tag: Tag, parts: list[tuple[str, _Compound]], idx: int) -> bool:
+    """``parts[idx]`` matched at ``tag``; check the earlier compounds against
+    the ancestor chain."""
+    if idx == 0:
+        return True
+    combinator, _ = parts[idx]
+    prev_comp = parts[idx - 1][1]
+    parent = tag.parent
+    if combinator == ">":
+        return (
+            isinstance(parent, Tag)
+            and _match_compound(parent, prev_comp)
+            and _match_chain(parent, parts, idx - 1)
+        )
+    node = parent
+    while isinstance(node, Tag):
+        if _match_compound(node, prev_comp) and _match_chain(node, parts, idx - 1):
+            return True
+        node = node.parent
+    return False
+
+
+def select(context: Tag, selector: str) -> list[Tag]:
+    """All strict descendants of ``context`` matching ``selector``, in
+    document order."""
+    parts = _parse_selector(selector)
+    last = parts[-1][1]
+    out: list[Tag] = []
+    for tag in context.iter_tags():
+        if _match_compound(tag, last) and _match_chain(tag, parts, len(parts) - 1):
+            out.append(tag)
+    return out
+
+
+def select_one(context: Tag, selector: str) -> Optional[Tag]:
+    """First match of ``selector`` under ``context`` or None."""
+    parts = _parse_selector(selector)
+    last = parts[-1][1]
+    for tag in context.iter_tags():
+        if _match_compound(tag, last) and _match_chain(tag, parts, len(parts) - 1):
+            return tag
+    return None

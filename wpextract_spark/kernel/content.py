@@ -1,0 +1,153 @@
+"""The per-document content-extraction kernel.
+
+This is the byte-parity-critical core (reference ``parse/content.py``): given
+one parsed document and its canonical URL it produces, in a single DOM pass,
+
+* the boilerplate-stripped body text (figcaption/table subtrees excluded,
+  ``<p>``/``<br>`` mapped to newlines, comments skipped, whitespace squashed),
+* internal/external link spans, ``<iframe>`` embeds and image spans.
+
+Everything returns plain dicts/lists so results cross the Arrow boundary of a
+``mapInPandas`` stage as native Spark ``array<struct<...>>`` values; the DOM
+never leaves this function (SURVEY.md §1.1 note on fused parsing).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+from urllib.parse import urljoin, urlparse, urlunparse
+
+from wpextract_spark.functions.text import squash_whitespace
+from wpextract_spark.htmlkit.dom import CommentNode, Tag, TextNode
+
+#: Subtrees whose text never reaches the body text (reference content.py:14).
+EXCLUDED_CONTENT_TAGS = frozenset({"figcaption", "table"})
+#: Tags that contribute a newline at their open position (content.py:15).
+NEWLINE_TAGS = frozenset({"br", "p"})
+
+
+def get_caption(img: Tag) -> Optional[str]:
+    """Caption of an image: the <figcaption> of its enclosing <figure>.
+
+    Mirrors ``extractors/media.py:100-129``.
+    """
+    if img.name != "img":
+        raise ValueError("Attempting to get caption of non-image")
+    figure = img.find_parent("figure")
+    if figure is None:
+        return None
+    caption = figure.find("figcaption")
+    if caption is None:
+        return None
+    return caption.get_text()
+
+
+def extract_links(doc: Tag, self_link: str) -> tuple[list[dict[str, Any]], list[dict[str, Any]]]:
+    """Internal and external link spans of the document.
+
+    Semantics (reference ``parse/content.py:22-60``):
+
+    * ``<a>`` without href -> external with null href;
+    * href absolutized against ``self_link``; same netloc -> internal with the
+      *absolutized* href; different netloc -> external with the *raw* href;
+    * link text is the squashed text content.
+
+    Internal links carry a ``destination`` slot (null until resolved);
+    external links never have one.
+    """
+    internal: list[dict[str, Any]] = []
+    external: list[dict[str, Any]] = []
+    self_netloc = urlparse(self_link).netloc
+    for a in doc.find_all("a"):
+        text = squash_whitespace(a.get_text())
+        if not a.has_attr("href"):
+            external.append({"text": text, "href": None})
+            continue
+        href_parsed = urlparse(urljoin(self_link, a["href"]))
+        if href_parsed.netloc == self_netloc:
+            internal.append(
+                {"text": text, "href": urlunparse(href_parsed), "destination": None}
+            )
+        else:
+            external.append({"text": text, "href": a["href"]})
+    return internal, external
+
+
+def extract_embeds(doc: Tag) -> list[str]:
+    """``src`` of every iframe (reference ``parse/content.py:66-75``)."""
+    return [iframe["src"] for iframe in doc.find_all("iframe") if iframe.has_attr("src")]
+
+
+def extract_images(doc: Tag, self_link: str) -> list[dict[str, Any]]:
+    """Image spans; same-site images are flagged resolvable.
+
+    Mirrors ``parse/content.py:81-118``: src absolutized via urljoin; missing
+    src -> ``src=""``; alt from the attr; caption from the enclosing figure.
+    ``internal`` discriminates ResolvableMediaUse from MediaUse — at export
+    the ``destination`` key exists only for internal uses.
+    """
+    out: list[dict[str, Any]] = []
+    self_netloc = urlparse(self_link).netloc
+    for img in doc.find_all("img"):
+        alt = img.get("alt")
+        caption = get_caption(img)
+        if not img.has_attr("src"):
+            out.append(
+                {"src": "", "alt": alt, "caption": caption, "destination": None, "internal": False}
+            )
+            continue
+        src_parsed = urlparse(urljoin(self_link, img["src"]))
+        out.append(
+            {
+                "src": urlunparse(src_parsed),
+                "alt": alt,
+                "caption": caption,
+                "destination": None,
+                "internal": src_parsed.netloc == self_netloc,
+            }
+        )
+    return out
+
+
+def _walk_text(node: Tag, parts: list[str]) -> None:
+    """Document-order text walk, skipping excluded subtrees.
+
+    Equivalent to the reference's copy + ``decompose()`` + descendant walk
+    (``parse/content.py:121-136, 152-162``): a tag in ``NEWLINE_TAGS``
+    contributes a newline at its open position, text nodes append verbatim,
+    comments are skipped, and figcaption/table subtrees are pruned whole.
+    """
+    for child in node.children:
+        if isinstance(child, TextNode):
+            parts.append(child.text)
+        elif isinstance(child, CommentNode):
+            continue
+        elif isinstance(child, Tag):
+            if child.name in EXCLUDED_CONTENT_TAGS:
+                continue
+            if child.name in NEWLINE_TAGS:
+                parts.append("\n")
+            _walk_text(child, parts)
+
+
+def extract_text(doc: Tag) -> str:
+    """Boilerplate-stripped text of the document."""
+    parts: list[str] = []
+    _walk_text(doc, parts)
+    return squash_whitespace("".join(parts))
+
+
+def extract_content(doc: Tag, self_link: str) -> dict[str, Any]:
+    """Fused single-pass extraction (reference ``parse/content.py:140-164``).
+
+    Returns a dict with keys ``text``, ``links_internal``, ``links_external``,
+    ``embeds``, ``images`` — the schema of the Spark extraction stage.
+    """
+    internal, external = extract_links(doc, self_link)
+    return {
+        "text": extract_text(doc),
+        "links_internal": internal,
+        "links_external": external,
+        "embeds": extract_embeds(doc),
+        "images": extract_images(doc, self_link),
+    }
