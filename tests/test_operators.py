@@ -1,0 +1,138 @@
+"""Operator-level Spark tests: registry last-wins, broadcast resolution with
+candidate-key fallback, translation symmetrization, crawl first-wins dedup.
+
+The e2e corpus exercises resolution only via translations (it has no internal
+content links), so these synthetic cases pin the join-path semantics."""
+
+from pyspark.sql import functions as F
+
+from wpextract_spark.operators.extract import RESOLVABLE_LINK_TYPE
+from wpextract_spark.operators.registry import build_registry, registry_contribution
+from wpextract_spark.operators.resolve import resolve_span_array, symmetrize_translations
+from wpextract_spark.sources.entities import ORD
+from wpextract_spark.sources.scrape import crawl_self_urls
+
+
+def _entity(spark, rows):
+    return spark.createDataFrame(rows, f"id long, link string, {ORD} long")
+
+
+def test_registry_last_wins(spark):
+    media = _entity(spark, [(1, "https://s.org/dup", 0), (2, "https://s.org/m2", 1)])
+    posts = _entity(spark, [(10, "https://s.org/dup", 0), (11, "https://s.org/p2", 1)])
+    registry = build_registry(
+        [
+            registry_contribution(media, "link", "media", 0),
+            registry_contribution(posts, "link", "post", 1),
+        ]
+    )
+    rows = {r["url"]: r for r in registry.collect()}
+    assert len(rows) == 3
+    # Duplicate URL: the later stage (posts) wins, like the dict rebuild.
+    assert rows["https://s.org/dup"]["data_type"] == "post"
+    assert rows["https://s.org/dup"]["idx"] == 10
+
+
+def test_resolve_span_array(spark):
+    registry = spark.createDataFrame(
+        [
+            ("https://s.org/article-a/", "post", 1),
+            ("https://s.org/fr/article-b/", "post", 2),
+        ],
+        "url string, data_type string, idx long",
+    )
+    links = [
+        # exact hit
+        {"text": "a", "href": "https://s.org/article-a/", "destination": None},
+        # preview_id strip
+        {"text": "b", "href": "https://s.org/article-a/?preview_id=9", "destination": None},
+        # category heuristic with lang prefix
+        {"text": "c", "href": "https://s.org/fr/news/article-b/", "destination": None},
+        # miss
+        {"text": "d", "href": "https://s.org/nope/", "destination": None},
+        # null href
+        {"text": "e", "href": None, "destination": None},
+        # pre-resolved: untouched
+        {"text": "f", "href": "https://s.org/article-a/",
+         "destination": {"link": "x", "data_type": "tag", "idx": 99}},
+    ]
+    df = spark.createDataFrame(
+        [(0, links), (1, [])],
+        f"{ORD} long, links array<struct<text:string,href:string,"
+        "destination:struct<link:string,data_type:string,idx:bigint>>>",
+    )
+    out = resolve_span_array(df, "links", registry)
+    rows = {r[ORD]: r["links"] for r in out.collect()}
+    resolved = rows[0]
+    assert resolved[0]["destination"]["idx"] == 1
+    assert resolved[1]["destination"]["idx"] == 1
+    assert resolved[2]["destination"]["idx"] == 2
+    assert resolved[3]["destination"] is None
+    assert resolved[4]["destination"] is None
+    assert resolved[5]["destination"]["idx"] == 99  # kept, not re-resolved
+    assert [r["text"] for r in resolved] == list("abcdef")  # order preserved
+    assert rows[1] == []  # empty arrays stay empty, not null
+
+
+def test_symmetrize_translations(spark):
+    schema = (
+        f"id long, link string, language string, {ORD} long, "
+        "translations array<struct<text:string,href:string,"
+        "destination:struct<link:string,data_type:string,idx:bigint>,lang:string>>"
+    )
+    dest_b = {"link": "https://s.org/b", "data_type": "post", "idx": 2}
+    posts = spark.createDataFrame(
+        [
+            # A -> B resolved; B has no edge back.
+            (1, "https://s.org/a", "en-US", 0,
+             [{"text": None, "href": "https://s.org/b", "destination": dest_b, "lang": "fr-FR"}]),
+            (2, "https://s.org/b", "fr-FR", 1, []),
+            # C -> unresolved edge: ignored.
+            (3, "https://s.org/c", "de-DE", 2,
+             [{"text": None, "href": "https://s.org/x", "destination": None, "lang": "en-US"}]),
+        ],
+        schema,
+    )
+    out = {r["id"]: r["translations"] for r in symmetrize_translations(posts).collect()}
+    assert len(out[2]) == 1
+    new = out[2][0]
+    assert new["href"] == "https://s.org/a"
+    assert new["lang"] == "en-US"  # the source post's language
+    assert new["destination"] is None  # needs re-resolution
+    assert len(out[1]) == 1 and len(out[3]) == 1  # untouched
+
+
+def test_symmetrize_already_bidirectional(spark):
+    schema = (
+        f"id long, link string, language string, {ORD} long, "
+        "translations array<struct<text:string,href:string,"
+        "destination:struct<link:string,data_type:string,idx:bigint>,lang:string>>"
+    )
+    d1 = {"link": "https://s.org/a", "data_type": "post", "idx": 1}
+    d2 = {"link": "https://s.org/b", "data_type": "post", "idx": 2}
+    posts = spark.createDataFrame(
+        [
+            (1, "https://s.org/a", "en", 0,
+             [{"text": None, "href": "https://s.org/b", "destination": d2, "lang": "fr"}]),
+            (2, "https://s.org/b", "fr", 1,
+             [{"text": None, "href": "https://s.org/a", "destination": d1, "lang": "en"}]),
+        ],
+        schema,
+    )
+    out = {r["id"]: r["translations"] for r in symmetrize_translations(posts).collect()}
+    assert len(out[1]) == 1 and len(out[2]) == 1  # nothing appended
+
+
+def test_crawl_first_wins(spark):
+    canon = '<html><head><link rel="canonical" href="https://s.org/p/"></head></html>'
+    pages = spark.createDataFrame(
+        [
+            ("b/path.html", canon),
+            ("a/path.html", canon),
+            ("c/other.html", '<html><head><meta property="og:url" content="https://s.org/q/"></head></html>'),
+            ("d/junk.html", "<html><head></head><body>no self url</body></html>"),
+        ],
+        "path string, html string",
+    )
+    out = {r["url"]: r for r in crawl_self_urls(pages).collect()}
+    assert set(out) == {"https://s.org/p/", "https://s.org/q/"}

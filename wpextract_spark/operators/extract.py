@@ -1,0 +1,200 @@
+"""Arrow-batched UDF stages wrapping the extraction kernel.
+
+Design (SURVEY.md §2.3, §4): the whole per-document kernel — parse, boilerplate
+strip, link/image/embed spans — is fused into ONE pandas UDF so each document
+is parsed exactly once and no DOM object ever crosses a stage boundary. At the
+Spark API level everything is vectorized (Arrow batches); the per-document DOM
+walk inside the batch is inherent to the problem (the reference is identical)
+and scales by partition parallelism.
+
+All stages are ``F.pandas_udf`` scalar UDFs rather than ``mapInPandas`` so they
+compose with arbitrary surrounding columns without re-stating the input schema
+(Catalyst keeps column pruning / filter pushdown around them).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from wpextract_spark.functions.locale import extract_locale
+from wpextract_spark.functions.text import extract_html_text
+from wpextract_spark.htmlkit.dom import parse_html
+from wpextract_spark.kernel.content import extract_content
+from wpextract_spark.kernel.linkresolve import candidate_hrefs
+from wpextract_spark.kernel.selfurl import extract_self_url
+from wpextract_spark.kernel.translations import LangPicker, extract_translations
+
+# ---------------------------------------------------------------------------
+# Schemas (the span-record output contract, SURVEY.md §1.3)
+# ---------------------------------------------------------------------------
+
+DESTINATION_TYPE = StructType(
+    [
+        StructField("link", StringType()),
+        StructField("data_type", StringType()),
+        StructField("idx", LongType()),
+    ]
+)
+
+RESOLVABLE_LINK_TYPE = StructType(
+    [
+        StructField("text", StringType()),
+        StructField("href", StringType()),
+        StructField("destination", DESTINATION_TYPE),
+    ]
+)
+
+LINK_TYPE = StructType(
+    [StructField("text", StringType()), StructField("href", StringType())]
+)
+
+IMAGE_TYPE = StructType(
+    [
+        StructField("src", StringType()),
+        StructField("alt", StringType()),
+        StructField("caption", StringType()),
+        StructField("destination", DESTINATION_TYPE),
+        StructField("internal", BooleanType()),
+    ]
+)
+
+TRANSLATION_TYPE = StructType(
+    [
+        StructField("text", StringType()),
+        StructField("href", StringType()),
+        StructField("destination", DESTINATION_TYPE),
+        StructField("lang", StringType()),
+    ]
+)
+
+CONTENT_RESULT_TYPE = StructType(
+    [
+        StructField("text", StringType()),
+        StructField("links_internal", ArrayType(RESOLVABLE_LINK_TYPE)),
+        StructField("links_external", ArrayType(LINK_TYPE)),
+        StructField("embeds", ArrayType(StringType())),
+        StructField("images", ArrayType(IMAGE_TYPE)),
+    ]
+)
+
+TRANSLATION_RESULT_TYPE = StructType(
+    [
+        StructField("language", StringType()),
+        StructField("translations", ArrayType(TRANSLATION_TYPE)),
+    ]
+)
+
+CANDIDATES_TYPE = StructType(
+    [StructField("exact", StringType()), StructField("heuristic", StringType())]
+)
+
+
+# ---------------------------------------------------------------------------
+# UDF factories
+# ---------------------------------------------------------------------------
+
+
+def content_extract_udf():
+    """(html, self_url) -> fused content struct. The flagship kernel stage."""
+
+    @F.pandas_udf(CONTENT_RESULT_TYPE)
+    def _extract(html: pd.Series, url: pd.Series) -> pd.DataFrame:
+        rows = []
+        for doc_html, self_link in zip(html, url):
+            if doc_html is None:
+                rows.append(
+                    {"text": None, "links_internal": None, "links_external": None,
+                     "embeds": None, "images": None}
+                )
+                continue
+            doc = parse_html(doc_html)
+            rows.append(extract_content(doc, self_link or ""))
+        return pd.DataFrame(rows, columns=["text", "links_internal", "links_external", "embeds", "images"])
+
+    return _extract
+
+
+def translations_udf(pickers: Optional[list[type[LangPicker]]] = None):
+    """(page_html, link) -> struct<language, translations>.
+
+    Picker classes are closed over and pickled to executors — the plugin
+    surface of the engine (reference ``extract.py:56``).
+    """
+
+    @F.pandas_udf(TRANSLATION_RESULT_TYPE)
+    def _translations(html: pd.Series, link: pd.Series) -> pd.DataFrame:
+        rows = []
+        for page_html, page_link in zip(html, link):
+            doc = parse_html(page_html) if page_html is not None else None
+            language, translations = extract_translations(doc, page_link or "", pickers)
+            rows.append({"language": language, "translations": translations})
+        return pd.DataFrame(rows, columns=["language", "translations"])
+
+    return _translations
+
+
+def self_url_udf():
+    """html -> canonical/og:url, parsing only the document head (strainer
+    analog — a large win when crawl payloads are megabytes)."""
+
+    @F.pandas_udf(StringType())
+    def _self_url(html: pd.Series) -> pd.Series:
+        out = []
+        for page_html in html:
+            if page_html is None:
+                out.append(None)
+                continue
+            out.append(extract_self_url(parse_html(page_html, head_only=True)))
+        return pd.Series(out, dtype="object")
+
+    return _self_url
+
+
+def html_text_udf():
+    """HTML fragment -> text (title/excerpt/caption/description columns)."""
+
+    @F.pandas_udf(StringType())
+    def _html_text(html: pd.Series) -> pd.Series:
+        return html.map(lambda value: extract_html_text(value) if value is not None else None)
+
+    return _html_text
+
+
+def locale_udf():
+    """URL -> normalized BCP-47 locale of the first path segment, or null."""
+
+    @F.pandas_udf(StringType())
+    def _locale(link: pd.Series) -> pd.Series:
+        return link.map(lambda value: extract_locale(value) if value is not None else None)
+
+    return _locale
+
+
+def resolve_candidates_udf():
+    """href -> struct<exact, heuristic> lookup keys for registry joins."""
+
+    @F.pandas_udf(CANDIDATES_TYPE)
+    def _candidates(href: pd.Series) -> pd.DataFrame:
+        rows = []
+        for value in href:
+            cands = candidate_hrefs(value)
+            rows.append(
+                {
+                    "exact": cands[0] if cands else None,
+                    "heuristic": cands[1] if len(cands) > 1 else None,
+                }
+            )
+        return pd.DataFrame(rows, columns=["exact", "heuristic"])
+
+    return _candidates
