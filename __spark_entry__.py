@@ -1,38 +1,66 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship extraction over a deterministic synthetic pages
+table derived from sf0.001; ``queries``/``oracle_sql`` expose every
+implemented operator from SURVEY.md §2 plus the training-data operators, each
+checked against a DuckDB oracle at sf0.01 (rows-only for the two genuinely
+non-SQL-expressible Python kernels, marked in plans/queries.py).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, str(Path(__file__).parent))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: fused HTML extraction over pages synthesized from the
+    sf0.001 documents corpus — parse, boilerplate strip, span records."""
+    from wpextract_spark.operators.extract import content_extract_udf
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    html = F.concat(
+        F.lit('<html><head><link rel="canonical" href="https://example.org/doc-'),
+        F.col("doc_id").cast("string"),
+        F.lit('/"/></head><body><nav>home | about</nav><main><p>'),
+        F.col("text"),
+        F.lit('</p><figure><img src="/wp-content/i.jpg" alt="a"/>'),
+        F.lit("<figcaption>cap</figcaption></figure>"),
+        F.lit('<a href="/next/">next</a>'),
+        F.lit("<table><tr><td>chrome</td></tr></table></main>"),
+        F.lit("<footer>share</footer></body></html>"),
+    )
+    url = F.concat(
+        F.lit("https://example.org/doc-"), F.col("doc_id").cast("string"), F.lit("/")
+    )
+    res = content_extract_udf()(html, url)
+    return docs.select(
+        "doc_id",
+        url.alias("url"),
+        "lang",
+        res["text"].alias("extracted_text"),
+        F.size(res["links_internal"]).alias("n_internal_links"),
+        F.size(res["images"]).alias("n_images"),
+        F.get(res["images"], 0)["caption"].alias("first_caption"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2 + training ops."""
+    from wpextract_spark.plans.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query (omitted for the non-SQL-expressible
+    Python kernels: q_lang_id, q_pages_extract)."""
+    from wpextract_spark.plans.queries import ORACLES
+
+    return dict(ORACLES)

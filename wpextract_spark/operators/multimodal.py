@@ -1,0 +1,124 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video are carried as ``binary`` columns with a metadata struct;
+decode / feature-extract / resize / frame-sample run as Arrow-batched stages
+over ``mapInPandas``. The decode step itself is STUBBED — the real codecs
+(PIL/ffmpeg/librosa) are not in this environment — behind
+``NotImplementedError`` plus a deterministic fake so the Spark-side plumbing
+(schema, batch shape, partitioning) is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id long, kind string, payload binary, "
+    "meta struct<mime:string, width:int, height:int, duration_s:double>"
+)
+
+FEATURE_DIM = 8
+
+FEATURES_SCHEMA = (
+    "media_id long, kind string, n_bytes long, checksum string, "
+    f"features array<float>"
+)
+
+
+def _fake_decode(payload: bytes) -> list[float]:
+    """Deterministic stand-in for a real decoder: md5-derived feature vector.
+
+    Replace with a real codec by passing ``decoder=`` to
+    :func:`extract_media_features`.
+    """
+    digest = hashlib.md5(payload).digest()
+    return [b / 255.0 for b in digest[:FEATURE_DIM]]
+
+
+def _real_decode(payload: bytes) -> list[float]:  # pragma: no cover - stub
+    raise NotImplementedError(
+        "real media decoding requires PIL/ffmpeg/librosa, not present in this "
+        "environment; plug a decoder via extract_media_features(decoder=...)"
+    )
+
+
+def extract_media_features(
+    media: DataFrame,
+    payload_col: str = "payload",
+    decoder=None,
+) -> DataFrame:
+    """Decode + feature-extract every media row, Arrow batch at a time.
+
+    Output schema: (media_id, kind, n_bytes, checksum, features). The batch
+    loop is the template for real decoders: payloads stay ``bytes`` within the
+    batch; nothing is collected to the driver.
+    """
+    decode = decoder or _fake_decode
+    pass_cols = ["media_id", "kind"]
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {c: batch[c] for c in pass_cols}
+            payloads = batch[payload_col]
+            out["n_bytes"] = payloads.map(lambda b: len(b) if b is not None else 0)
+            out["checksum"] = payloads.map(
+                lambda b: hashlib.md5(b).hexdigest() if b is not None else None
+            )
+            out["features"] = payloads.map(
+                lambda b: decode(bytes(b)) if b is not None else None
+            )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(_extract, FEATURES_SCHEMA)
+
+
+def frame_sample_stub(
+    media: DataFrame, every_s: float = 1.0, payload_col: str = "payload"
+) -> DataFrame:
+    """Video frame-sampling plumbing: one output row per sampled frame.
+
+    The "frames" are deterministic byte slices (real ffmpeg absent); the
+    row-explosion shape — the part that matters for partition sizing — is
+    real.
+    """
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for _, row in batch.iterrows():
+                payload = row[payload_col]
+                duration = row["meta"]["duration_s"] or 0.0
+                n_frames = max(int(duration / every_s), 1) if payload is not None else 0
+                for frame_i in range(n_frames):
+                    offset = (frame_i * 16) % max(len(payload), 1)
+                    rows.append(
+                        {
+                            "media_id": row["media_id"],
+                            "frame_idx": frame_i,
+                            "frame_bytes": bytes(payload[offset : offset + 16]),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_bytes"])
+
+    return media.mapInPandas(_sample, "media_id long, frame_idx int, frame_bytes binary")
+
+
+def documents_as_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Adapter: treat document text bytes as opaque media payloads (the
+    testdata has no true binary modality; the plumbing is modality-agnostic)."""
+    return docs.select(
+        F.col(id_col).alias("media_id"),
+        F.lit("text").alias("kind"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            (F.length(text_col) / 100.0).alias("duration_s"),
+        ).alias("meta"),
+    )

@@ -1,0 +1,100 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers:
+* ``cosine_topk`` — exact brute force: one narrow pass, no shuffle except the
+  top-k (which AQE collapses to a single reduce). The correctness baseline.
+* ``lsh_topk`` — sign-LSH bucketing: deterministic hyperplanes, candidates
+  from the query's bucket only, exact re-rank inside. The scale path: at
+  N docs x B buckets the scan prunes to ~N/B before any ranking.
+
+Everything is built-in expressions (``aggregate``/``zip_with``); no Python in
+the row path. Hyperplanes use ``sin(p * P1 + i * P2)`` so the identical
+planes are constructible in any engine for oracle checks.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_P1 = 7919.0
+_P2 = 104729.0
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine similarity to ``query``: (id, cos_sim)."""
+    q = F.array(*[F.lit(float(v)) for v in query])
+    return (
+        embeddings.select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col).cast("array<double>"), q), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def hyperplane(plane: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane p (unit-free; sign-LSH only
+    needs direction)."""
+    return [math.sin(plane * _P1 + i * _P2) for i in range(dim)]
+
+
+def _bucket(vec: Column, planes: list[list[float]]) -> Column:
+    bits = [
+        F.when(_dot(vec, F.array(*[F.lit(v) for v in plane])) > 0, F.lit("1")).otherwise(F.lit("0"))
+        for plane in planes
+    ]
+    return F.concat(*bits)
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: sign-LSH bucket filter + exact re-rank.
+
+    Output: (id, cos_sim) for the k best vectors sharing the query's bucket.
+    Recall depends on n_planes (each plane halves the candidate set).
+    """
+    dim = len(query)
+    planes = [hyperplane(p, dim) for p in range(n_planes)]
+    query_bucket = "".join(
+        "1" if sum(a * b for a, b in zip(query, plane)) > 0 else "0" for plane in planes
+    )
+    vec = F.col(vec_col).cast("array<double>")
+    q = F.array(*[F.lit(float(v)) for v in query])
+    return (
+        embeddings.where(_bucket(vec, planes) == query_bucket)
+        .select(F.col(id_col), F.round(cosine(vec, q), 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )

@@ -1,0 +1,116 @@
+"""Text analysis operators: token counts, quality scoring, fingerprinting,
+language identification.
+
+Counts/ratios/fingerprints are built-in JVM expressions (whole-stage codegen,
+oracle-expressible). Language-ID is a stopword-profile heuristic in a pandas
+UDF (profiles ship with the closure) — no SQL-oracle equivalent, checked
+rows-only by the driver.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+from wpextract_spark.operators.dedup import WS
+
+#: Small multilingual stopword profiles for the lang-id heuristic.
+_LANG_PROFILES = {
+    "en": {"the", "a", "of", "and", "to", "in", "is", "that", "for", "it", "on", "with"},
+    "fr": {"le", "la", "les", "de", "des", "et", "un", "une", "est", "que", "pour", "dans"},
+    "de": {"der", "die", "das", "und", "ein", "eine", "ist", "zu", "den", "von", "mit", "für"},
+    "es": {"el", "la", "los", "las", "de", "y", "un", "una", "es", "que", "por", "con"},
+}
+
+_STOPWORDS_EN = sorted(_LANG_PROFILES["en"])
+
+
+def _words(text_col: str) -> Column:
+    return F.split(F.trim(F.col(text_col)), WS)
+
+
+def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, n_tokens, n_chars, approx_bpe_tokens).
+
+    ``approx_bpe_tokens`` is the chars/4 heuristic commonly used to budget
+    LLM token counts without a tokenizer.
+    """
+    return docs.select(
+        F.col(id_col),
+        F.size(_words(text_col)).alias("n_tokens"),
+        F.length(F.col(text_col)).alias("n_chars"),
+        F.ceil(F.length(F.col(text_col)) / 4).cast("long").alias("approx_bpe_tokens"),
+    )
+
+
+def quality_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, n_tokens, stopword_ratio, mean_word_len, quality) per document.
+
+    The quality score is the trivial-but-effective web-corpus filter: enough
+    tokens, plausible mean word length, presence of function words.
+    """
+    words = _words(text_col)
+    n_tokens = F.size(words)
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS_EN])
+    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, F.lower(w))))
+    mean_len = F.aggregate(
+        words, F.lit(0.0), lambda acc, w: acc + F.length(w)
+    ) / F.greatest(n_tokens, F.lit(1))
+    stop_ratio = n_stop / F.greatest(n_tokens, F.lit(1))
+    quality = (
+        F.when((n_tokens >= 10) & (mean_len >= 2.0) & (mean_len <= 12.0), 0.5).otherwise(0.0)
+        + F.when(stop_ratio > 0.02, 0.5).otherwise(0.0)
+    )
+    return docs.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        quality.alias("quality"),
+    )
+
+
+def fingerprints(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 5
+) -> DataFrame:
+    """(id, fingerprint): min-hash over word ``n``-grams (winnowing-lite).
+
+    A single stable 32-hex fingerprint robust to local edits outside the
+    minimal shingle; shift-resistant unlike a whole-text hash.
+    """
+    words = _words(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(words, i + 1, n))),
+    )
+    return docs.select(F.col(id_col), F.array_min(grams).alias("fingerprint"))
+
+
+def lang_id_udf():
+    """text -> best-guess language code by stopword-profile voting."""
+
+    @F.pandas_udf(StringType())
+    def _lang_id(text: pd.Series) -> pd.Series:
+        def guess(value: str | None) -> str | None:
+            if not value:
+                return None
+            tokens = value.lower().split()
+            if not tokens:
+                return None
+            scores = {
+                lang: sum(t in profile for t in tokens)
+                for lang, profile in _LANG_PROFILES.items()
+            }
+            best = max(scores, key=lambda l: (scores[l], l))
+            return best if scores[best] > 0 else "und"
+
+        return text.map(guess)
+
+    return _lang_id
+
+
+def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, lang_guess) via the stopword-profile heuristic."""
+    return docs.select(F.col(id_col), lang_id_udf()(F.col(text_col)).alias("lang_guess"))

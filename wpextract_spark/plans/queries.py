@@ -1,0 +1,614 @@
+"""Driver-contract query registry: every implemented operator exposed as a
+(spark_query, oracle_sql) pair over the shared testdata tables.
+
+Conventions (driver compare = row count + schema + order-insensitive value
+hash with columns sorted by name):
+* every computed column is aliased identically in Spark and SQL;
+* floats are rounded to 6 decimals on both sides;
+* hashing uses md5-over-UTF-8 (identical in Spark and DuckDB).
+
+Queries marked NO_ORACLE are genuinely non-SQL-expressible (Python kernel
+semantics); the driver records a weaker rows-only check for them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from wpextract_spark.operators.dedup import (
+    exact_duplicate_groups,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from wpextract_spark.operators.extract import content_extract_udf, locale_udf
+from wpextract_spark.operators.multimodal import (
+    documents_as_media,
+    extract_media_features,
+    frame_sample_stub,
+)
+from wpextract_spark.operators.similarity import cosine_topk, hyperplane, lsh_topk
+from wpextract_spark.operators.textstats import (
+    fingerprints,
+    lang_id,
+    quality_scores,
+    token_stats,
+)
+
+WS_SQL = r"\s+"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Extraction-kernel queries (documents table as the corpus)
+# ---------------------------------------------------------------------------
+
+
+def q_extract_text_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate strip invariant: wrapping text in <p> + excluded <table> +
+    comment boilerplate and extracting must give back exactly the text."""
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><body><p>"),
+        F.col("text"),
+        F.lit("</p><table><tr><td>junk</td></tr></table><!-- c --></body></html>"),
+    )
+    url = F.concat(F.lit("https://example.org/doc-"), F.col("doc_id").cast("string"))
+    extracted = content_extract_udf()(html, url)
+    return docs.select(F.col("doc_id"), extracted["text"].alias("extracted_text"))
+
+
+ORACLE_EXTRACT_TEXT = "SELECT doc_id, text AS extracted_text FROM documents"
+
+
+def q_extract_link_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-span extraction with internal/external discrimination and
+    relative-href absolutization, on deterministically constructed pages."""
+    docs = _t(spark, sf_dir, "documents")
+    n_int = (F.col("doc_id") % 3).cast("int")
+    # NB: sequence(1, 0) would DESCEND — guard the empty case explicitly.
+    internal_links = F.when(n_int < 1, F.lit("")).otherwise(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.sequence(F.lit(1), n_int),
+                lambda i: F.concat(
+                    F.lit('<a href="/p/'),
+                    (F.col("doc_id") + i).cast("string"),
+                    F.lit('">l</a>'),
+                ),
+            ),
+        )
+    )
+    html = F.concat(
+        F.lit("<p>x</p>"),
+        internal_links,
+        F.lit('<a href="https://other.example.com/e">ext</a>'),
+    )
+    url = F.concat(F.lit("https://example.org/doc-"), F.col("doc_id").cast("string"), F.lit("/"))
+    res = content_extract_udf()(html, url)
+    return docs.select(
+        "doc_id",
+        F.size(res["links_internal"]).alias("n_internal"),
+        F.size(res["links_external"]).alias("n_external"),
+        # F.get is null-on-out-of-bounds (ANSI-safe), unlike element_at.
+        F.get(res["links_internal"], 0)["href"].alias("first_internal_href"),
+    )
+
+
+ORACLE_LINK_SPANS = """
+SELECT doc_id,
+       CAST(doc_id % 3 AS INT) AS n_internal,
+       1 AS n_external,
+       CASE WHEN doc_id % 3 > 0
+            THEN 'https://example.org/p/' || (doc_id + 1)
+            ELSE NULL END AS first_internal_href
+FROM documents
+"""
+
+
+def q_extract_locale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-locale sniffing with the excluded-segment and normalization rules."""
+    docs = _t(spark, sf_dir, "documents")
+    seg = (
+        F.when(F.col("doc_id") % 7 == 0, F.lit("tag"))
+        .when(F.col("doc_id") % 5 == 0, F.lit("news"))
+        .otherwise(F.col("lang"))
+    )
+    url = F.concat(
+        F.lit("https://example.org/"), seg, F.lit("/doc-"),
+        F.col("doc_id").cast("string"), F.lit("/"),
+    )
+    return docs.select("doc_id", locale_udf()(url).alias("link_locale"))
+
+
+ORACLE_LOCALE = """
+SELECT doc_id,
+       CASE WHEN doc_id % 7 = 0 THEN NULL
+            WHEN doc_id % 5 = 0 THEN NULL
+            ELSE lang END AS link_locale
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Relational analogs of the pipeline's joins/dedups (SURVEY.md §2.4-2.5)
+# ---------------------------------------------------------------------------
+
+
+def q_registry_last_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-wins dedup (registry semantics J1/A2): latest event per user."""
+    from pyspark.sql import Window
+
+    events = _t(spark, sf_dir, "events")
+    window = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        events.withColumn("_rn", F.row_number().over(window))
+        .where(F.col("_rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+ORACLE_LAST_WINS = """
+SELECT user_id, event_id, event_type FROM (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+  FROM events) WHERE rn = 1
+"""
+
+
+def q_crawl_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-wins dedup (crawl semantics A1): earliest event per user."""
+    from pyspark.sql import Window
+
+    events = _t(spark, sf_dir, "events")
+    window = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return (
+        events.withColumn("_rn", F.row_number().over(window))
+        .where(F.col("_rn") == 1)
+        .select("user_id", "event_id", "event_type")
+    )
+
+
+ORACLE_FIRST_WINS = """
+SELECT user_id, event_id, event_type FROM (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) rn
+  FROM events) WHERE rn = 1
+"""
+
+
+def q_symmetrize_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-reverse-edge detection (translation symmetrization J7) as an
+    anti-join over a derived edge list."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    edges = (
+        lineitem.select(
+            (F.col("l_partkey") % 200).alias("a"), (F.col("l_suppkey") % 100).alias("b")
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    reverse = edges.select(F.col("a").alias("rb"), F.col("b").alias("ra"))
+    return edges.join(
+        reverse, (edges["a"] == reverse["ra"]) & (edges["b"] == reverse["rb"]), "left_anti"
+    ).select("a", "b")
+
+
+ORACLE_SYMMETRIZE = """
+WITH edges AS (
+  SELECT DISTINCT l_partkey % 200 AS a, l_suppkey % 100 AS b
+  FROM lineitem WHERE l_partkey % 200 <> l_suppkey % 100)
+SELECT a, b FROM edges e
+WHERE NOT EXISTS (SELECT 1 FROM edges r WHERE r.a = e.b AND r.b = e.a)
+"""
+
+
+def q_resolution_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL->entity resolution analog (J2/J3): broadcast-join lineitem spans
+    against the small part dimension, aggregate per brand."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return (
+        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        )
+    )
+
+
+ORACLE_RESOLUTION = """
+SELECT p_brand, count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style agg: map-side partial aggregation, no join."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    return (
+        lineitem.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+ORACLE_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + filter + agg: orders x customer segment counts by priority."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), F.round(F.avg("o_totalprice"), 2).alias("avg_price"))
+    )
+
+
+ORACLE_ORDER_PRIORITY = """
+SELECT o_orderpriority, count(*) AS n_orders, round(avg(o_totalprice), 2) AS avg_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderpriority
+"""
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time windowed aggregation (batch form of the streaming op)."""
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+    ).agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+
+
+ORACLE_EVENTS_HOURLY = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Training-data operators
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups on a 5-word prefix key (full texts are unique in the
+    synthetic corpus; the prefix creates realistic collision groups)."""
+    docs = _t(spark, sf_dir, "documents")
+    prefix = F.concat_ws(" ", F.slice(F.split(F.trim("text"), WS_SQL), 1, 5))
+    return exact_duplicate_groups(docs.select("doc_id", prefix.alias("text")))
+
+
+ORACLE_DEDUP_EXACT = rf"""
+WITH keyed AS (
+  SELECT doc_id,
+         md5(array_to_string((string_split_regex(trim(text), '{WS_SQL}'))[1:5], ' ')) AS text_hash
+  FROM documents)
+SELECT text_hash, count(*) AS n_dups, min(doc_id) AS keep_id
+FROM keyed GROUP BY text_hash HAVING count(*) > 1
+"""
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_signatures(docs, k=4)
+
+
+ORACLE_MINHASH = rf"""
+WITH w AS (
+  SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '{WS_SQL}'))) AS w
+  FROM documents)
+SELECT doc_id,
+       min(md5('0:' || w)) AS sig_0, min(md5('1:' || w)) AS sig_1,
+       min(md5('2:' || w)) AS sig_2, min(md5('3:' || w)) AS sig_3
+FROM w GROUP BY doc_id
+"""
+
+
+def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return lsh_candidate_pairs(docs, k=4, bands=2)
+
+
+ORACLE_LSH_PAIRS = rf"""
+WITH w AS (
+  SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '{WS_SQL}'))) AS w
+  FROM documents),
+sig AS (
+  SELECT doc_id,
+         min(md5('0:' || w)) AS s0, min(md5('1:' || w)) AS s1,
+         min(md5('2:' || w)) AS s2, min(md5('3:' || w)) AS s3
+  FROM w GROUP BY doc_id),
+banded AS (
+  SELECT doc_id, unnest(['0|' || s0 || '|' || s1, '1|' || s2 || '|' || s3]) AS band_key
+  FROM sig)
+SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS n_bands
+FROM banded l JOIN banded r ON l.band_key = r.band_key AND l.doc_id < r.doc_id
+GROUP BY 1, 2
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return ngram_jaccard_pairs(docs, n=3, threshold=0.02).withColumn(
+        "jaccard", F.round("jaccard", 6)
+    )
+
+
+ORACLE_NGRAM_JACCARD = rf"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '{WS_SQL}') AS ws
+  FROM documents WHERE doc_id < 100),
+g AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS grams
+  FROM w WHERE len(ws) >= 3),
+e AS (SELECT doc_id, unnest(grams) AS g FROM g),
+sizes AS (SELECT doc_id, len(grams) AS n_grams FROM g),
+pairs AS (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS common
+  FROM e l JOIN e r ON l.g = r.g AND l.doc_id < r.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(common * 1.0 / (sa.n_grams + sb.n_grams - common), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE common * 1.0 / (sa.n_grams + sb.n_grams - common) >= 0.02
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return simhash(docs, bits=8)
+
+
+def _oracle_simhash(bits: int = 8) -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN substr(md5(w), {b + 1}, 1) IN ('8','9','a','b','c','d','e','f') "
+        f"THEN 1 ELSE -1 END) AS v_{b}"
+        for b in range(bits)
+    )
+    concat = " || ".join(f"(CASE WHEN v_{b} > 0 THEN '1' ELSE '0' END)" for b in range(bits))
+    return rf"""
+WITH w AS (
+  SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '{WS_SQL}'))) AS w
+  FROM documents),
+v AS (SELECT doc_id, {votes} FROM w GROUP BY doc_id)
+SELECT doc_id, {concat} AS simhash FROM v
+"""
+
+
+_SIM_QUERY = [1.0] + [0.0] * 63
+
+
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, _SIM_QUERY, k=20)
+
+
+ORACLE_SIM_TOPK = """
+SELECT vec_id,
+       round(CAST(embedding[1] AS DOUBLE)
+             / sqrt(list_sum([CAST(x AS DOUBLE) * x for x in embedding])), 6) AS cos_sim
+FROM embeddings
+ORDER BY cos_sim DESC, vec_id ASC LIMIT 20
+"""
+
+
+def q_similarity_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, _SIM_QUERY, k=10, n_planes=4)
+
+
+def _oracle_sim_lsh() -> str:
+    dim = 64
+    planes = [hyperplane(p, dim) for p in range(4)]
+    query_bucket = "".join("1" if p[0] > 0 else "0" for p in planes)
+    plane_sql = []
+    for plane in planes:
+        lit = "[" + ", ".join(f"{v!r}" for v in plane) + "]"
+        plane_sql.append(
+            f"(CASE WHEN list_sum([CAST(embedding[i+1] AS DOUBLE) * ({lit})[i+1] "
+            f"for i in range({dim})]) > 0 THEN '1' ELSE '0' END)"
+        )
+    bucket = " || ".join(plane_sql)
+    return f"""
+WITH b AS (
+  SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings)
+SELECT vec_id,
+       round(CAST(embedding[1] AS DOUBLE)
+             / sqrt(list_sum([CAST(x AS DOUBLE) * x for x in embedding])), 6) AS cos_sim
+FROM b WHERE bucket = '{query_bucket}'
+ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+"""
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_stats(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_TOKEN_STATS = rf"""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '{WS_SQL}')) AS n_tokens,
+       length(text) AS n_chars,
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS approx_bpe_tokens
+FROM documents
+"""
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_scores(_t(spark, sf_dir, "documents"))
+
+
+def _oracle_quality() -> str:
+    from wpextract_spark.operators.textstats import _STOPWORDS_EN
+
+    stops = ", ".join(f"'{w}'" for w in _STOPWORDS_EN)
+    return rf"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '{WS_SQL}') AS ws FROM documents),
+s AS (
+  SELECT doc_id,
+         len(ws) AS n_tokens,
+         len(list_filter(ws, x -> list_contains([{stops}], lower(x)))) AS n_stop,
+         list_sum([CAST(length(x) AS DOUBLE) for x in ws]) AS total_len
+  FROM w)
+SELECT doc_id, n_tokens,
+       round(n_stop * 1.0 / greatest(n_tokens, 1), 6) AS stopword_ratio,
+       round(total_len / greatest(n_tokens, 1), 6) AS mean_word_len,
+       (CASE WHEN n_tokens >= 10 AND total_len / greatest(n_tokens, 1) BETWEEN 2.0 AND 12.0
+             THEN 0.5 ELSE 0.0 END
+        + CASE WHEN n_stop * 1.0 / greatest(n_tokens, 1) > 0.02 THEN 0.5 ELSE 0.0 END)::DOUBLE
+       AS quality
+FROM s
+"""
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprints(_t(spark, sf_dir, "documents"), n=5)
+
+
+ORACLE_FINGERPRINTS = rf"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '{WS_SQL}') AS ws FROM documents)
+SELECT doc_id,
+       list_aggregate(
+         [md5(array_to_string(ws[i:i+4], ' '))
+          for i in range(1, greatest(len(ws) - 4, 1) + 1)],
+         'min') AS fingerprint
+FROM w
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NO_ORACLE: stopword-profile voting is a Python kernel.
+    return lang_id(_t(spark, sf_dir, "documents"))
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = documents_as_media(_t(spark, sf_dir, "documents"))
+    feats = extract_media_features(media)
+    return feats.select("media_id", "kind", "n_bytes", "checksum")
+
+
+ORACLE_MULTIMODAL = """
+SELECT doc_id AS media_id, 'text' AS kind,
+       octet_length(CAST(text AS BLOB)) AS n_bytes, md5(text) AS checksum
+FROM documents
+"""
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = documents_as_media(_t(spark, sf_dir, "documents"))
+    frames = frame_sample_stub(media, every_s=1.0)
+    return frames.groupBy("media_id").agg(F.count("*").alias("n_frames"))
+
+
+ORACLE_FRAME_SAMPLE = """
+SELECT doc_id AS media_id,
+       greatest(CAST(floor(length(text) / 100.0) AS BIGINT), 1) AS n_frames
+FROM documents
+"""
+
+
+def q_pages_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: full fused extraction over the deterministic synthetic pages
+    table (NO_ORACLE: the page builder is Python; invariants are pinned by
+    unit tests instead)."""
+    from wpextract_spark.sources.synth import generate_pages
+
+    pages = generate_pages(spark, n_pages=300, seed=42)
+    res = content_extract_udf()(F.col("html"), F.col("url"))
+    return pages.select(
+        "url",
+        "lang",
+        res["text"].alias("text"),
+        F.size(res["links_internal"]).alias("n_internal"),
+        F.size(res["links_external"]).alias("n_external"),
+        F.size(res["images"]).alias("n_images"),
+        F.size(res["embeds"]).alias("n_embeds"),
+    )
+
+
+QUERIES = {
+    "q_extract_text_kernel": q_extract_text_kernel,
+    "q_extract_link_spans": q_extract_link_spans,
+    "q_extract_locale": q_extract_locale,
+    "q_registry_last_wins": q_registry_last_wins,
+    "q_crawl_first_wins": q_crawl_first_wins,
+    "q_symmetrize_edges": q_symmetrize_edges,
+    "q_resolution_broadcast": q_resolution_broadcast,
+    "q_pricing_summary": q_pricing_summary,
+    "q_order_priority": q_order_priority,
+    "q_events_hourly": q_events_hourly,
+    "q_dedup_exact": q_dedup_exact,
+    "q_minhash_signatures": q_minhash_signatures,
+    "q_lsh_candidate_pairs": q_lsh_candidate_pairs,
+    "q_ngram_jaccard": q_ngram_jaccard,
+    "q_simhash": q_simhash,
+    "q_similarity_topk": q_similarity_topk,
+    "q_similarity_lsh": q_similarity_lsh,
+    "q_token_stats": q_token_stats,
+    "q_quality_scores": q_quality_scores,
+    "q_fingerprints": q_fingerprints,
+    "q_lang_id": q_lang_id,
+    "q_multimodal_features": q_multimodal_features,
+    "q_frame_sample": q_frame_sample,
+    "q_pages_extract": q_pages_extract,
+}
+
+ORACLES = {
+    "q_extract_text_kernel": ORACLE_EXTRACT_TEXT,
+    "q_extract_link_spans": ORACLE_LINK_SPANS,
+    "q_extract_locale": ORACLE_LOCALE,
+    "q_registry_last_wins": ORACLE_LAST_WINS,
+    "q_crawl_first_wins": ORACLE_FIRST_WINS,
+    "q_symmetrize_edges": ORACLE_SYMMETRIZE,
+    "q_resolution_broadcast": ORACLE_RESOLUTION,
+    "q_pricing_summary": ORACLE_PRICING,
+    "q_order_priority": ORACLE_ORDER_PRIORITY,
+    "q_events_hourly": ORACLE_EVENTS_HOURLY,
+    "q_dedup_exact": ORACLE_DEDUP_EXACT,
+    "q_minhash_signatures": ORACLE_MINHASH,
+    "q_lsh_candidate_pairs": ORACLE_LSH_PAIRS,
+    "q_ngram_jaccard": ORACLE_NGRAM_JACCARD,
+    "q_simhash": _oracle_simhash(8),
+    "q_similarity_topk": ORACLE_SIM_TOPK,
+    "q_similarity_lsh": _oracle_sim_lsh(),
+    "q_token_stats": ORACLE_TOKEN_STATS,
+    "q_quality_scores": _oracle_quality(),
+    "q_fingerprints": ORACLE_FINGERPRINTS,
+    "q_multimodal_features": ORACLE_MULTIMODAL,
+    "q_frame_sample": ORACLE_FRAME_SAMPLE,
+    # q_lang_id, q_pages_extract: NO_ORACLE (Python kernel semantics).
+}
