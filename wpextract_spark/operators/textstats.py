@@ -53,11 +53,13 @@ def quality_scores(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     """
     words = _words(text_col)
     n_tokens = F.size(words)
-    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS_EN])
-    n_stop = F.size(F.filter(words, lambda w: F.array_contains(stop_arr, F.lower(w))))
-    mean_len = F.aggregate(
-        words, F.lit(0.0), lambda acc, w: acc + F.length(w)
-    ) / F.greatest(n_tokens, F.lit(1))
+    # InSet hash probe per word (stopword list > inSetConversionThreshold)
+    # instead of an O(|stopwords|) array scan per word.
+    n_stop = F.size(F.filter(words, lambda w: F.lower(w).isin(_STOPWORDS_EN)))
+    # sum(len(word)) == len(text with all separator runs removed): one JVM
+    # regexp pass instead of an interpreted higher-order aggregate.
+    sum_word_len = F.length(F.regexp_replace(F.trim(F.col(text_col)), WS, ""))
+    mean_len = sum_word_len / F.greatest(n_tokens, F.lit(1))
     stop_ratio = n_stop / F.greatest(n_tokens, F.lit(1))
     quality = (
         F.when((n_tokens >= 10) & (mean_len >= 2.0) & (mean_len <= 12.0), 0.5).otherwise(0.0)
