@@ -1,0 +1,70 @@
+"""Checkpoint-resume protocol: a job interrupted mid-run resumes with no
+repeated or lost work, and the per-partition lineage totals agree exactly
+with the committed output (reference analog: crawl cache reuse,
+``tests/scrape/test_crawler.py:20-79``)."""
+
+from pyspark.sql import functions as F
+
+from wpextract_spark.plans.job import ResumableExtractJob
+from wpextract_spark.sources.synth import generate_pages
+
+N_PAGES = 120
+N_CHUNKS = 4
+
+
+def test_resume_after_interrupt(spark, tmp_path):
+    pages = generate_pages(spark, n_pages=N_PAGES, seed=7)
+    out = tmp_path / "job_out"
+
+    first = ResumableExtractJob(spark, pages, out, n_chunks=N_CHUNKS)
+    partial = first.run(max_chunks=2)  # "crash" after two chunks
+    assert sum(not r.skipped for r in partial) == 2
+    assert len(first.completed_chunks()) == 2
+
+    second = ResumableExtractJob(spark, pages, out, n_chunks=N_CHUNKS)
+    final = second.run(resume=True)
+    assert [r.chunk for r in final] == list(range(N_CHUNKS))
+    assert sum(r.skipped for r in final) == 2  # completed chunks not re-run
+
+    result = second.output()
+    assert result.count() == N_PAGES
+    assert result.select("url").distinct().count() == N_PAGES  # no url twice
+
+    # Lineage totals agree exactly with the committed output.
+    m = second.metrics()
+    assert m.agg(F.sum("n_docs")).first()[0] == N_PAGES
+    n_bytes_out = m.agg(F.sum("n_bytes_out")).first()[0]
+    assert (
+        result.agg(F.sum(F.octet_length("content.text"))).first()[0] == n_bytes_out
+    )
+    # Per-partition granularity: more lineage rows than chunks.
+    assert m.count() > N_CHUNKS
+
+
+def test_no_resume_reruns_everything(spark, tmp_path):
+    pages = generate_pages(spark, n_pages=40, seed=9)
+    out = tmp_path / "job_out"
+    job = ResumableExtractJob(spark, pages, out, n_chunks=2)
+    job.run()
+    rerun = ResumableExtractJob(spark, pages, out, n_chunks=2)
+    results = rerun.run(resume=False)
+    assert all(not r.skipped for r in results)
+    assert rerun.output().count() == 40  # overwrite, not append
+
+
+def test_extraction_matches_direct_kernel(spark, tmp_path):
+    from wpextract_spark.operators.extract import content_extract_udf
+
+    pages = generate_pages(spark, n_pages=30, seed=11)
+    job = ResumableExtractJob(spark, pages, tmp_path / "o", n_chunks=2)
+    job.run()
+    via_job = {
+        r["url"]: r["text"]
+        for r in job.output().select("url", "content.text").collect()
+    }
+    res = content_extract_udf()(F.col("html"), F.col("url"))
+    direct = {
+        r["url"]: r["text"]
+        for r in pages.select("url", res["text"].alias("text")).collect()
+    }
+    assert via_job == direct

@@ -24,6 +24,11 @@ def default_builder(app_name: str = "wpextract-spark", master: str | None = None
         builder = builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]")
     return (
         builder.config("spark.sql.adaptive.enabled", "true")
+        # Pre-warming daemon: forked workers inherit pandas/pyarrow/kernel
+        # imports, and its zipimport mtime guard removes the ~100ms/task
+        # zip-TOC rescan that pyspark's per-task invalidate_caches() costs on
+        # Python < 3.12 (see wpextract_spark/pywarm_daemon.py).
+        .config("spark.python.daemon.module", "wpextract_spark.pywarm_daemon")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
