@@ -18,7 +18,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Split pattern for whitespace tokenization, shared with the oracles.
@@ -68,12 +68,20 @@ def lsh_candidate_pairs(
     text_col: str = "text",
     k: int = 8,
     bands: int = 4,
+    max_bucket: int | None = 100,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash LSH.
 
     Signature split into ``bands`` rows of ``k/bands`` values; docs sharing a
     band bucket become a candidate pair (a < b). Output: (id_a, id_b, n_bands)
     with the number of agreeing bands.
+
+    ``max_bucket`` drops band buckets holding more than that many documents
+    before the self-join — the mega-bucket guard. A bucket of B docs emits
+    B^2/2 pairs, so one degenerate key (boilerplate-only pages, empty text)
+    turns the join quadratic; capping bounds the worst case at
+    ``buckets * max_bucket^2 / 2`` and loses only candidates that ``bands``
+    other bands can still propose. Pass None to disable.
     """
     if k % bands:
         raise ValueError("k must be divisible by bands")
@@ -84,6 +92,12 @@ def lsh_candidate_pairs(
         for b in range(bands)
     ]
     banded = sig.select(F.col(id_col), F.explode(F.array(*band_cols)).alias("band_key"))
+    if max_bucket is not None:
+        # One extra shuffle on band_key; the self-join below re-uses the same
+        # hash partitioning, so AQE plans scan->window->join without a second
+        # exchange of the big side.
+        bucket_n = F.count("*").over(Window.partitionBy("band_key"))
+        banded = banded.withColumn("_n", bucket_n).where(F.col("_n") <= max_bucket).drop("_n")
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -102,11 +116,16 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.8,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Document pairs with word-``n``-gram Jaccard similarity >= threshold.
 
-    Output: (id_a, id_b, jaccard). Quadratic in per-gram document frequency —
-    use after LSH candidate pruning at scale.
+    Output: (id_a, id_b, jaccard). Without ``candidates`` this self-joins on
+    shared grams — quadratic in per-gram document frequency, only safe on
+    small slices. With ``candidates`` (a DataFrame with id_a/id_b, e.g. from
+    :func:`lsh_candidate_pairs`) the join fans out linearly in
+    ``|candidates| x grams-per-doc``: the scale path is LSH propose ->
+    Jaccard verify.
     """
     words = _words(text_col)
     grams = F.array_distinct(
@@ -115,17 +134,35 @@ def ngram_jaccard_pairs(
             lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
         )
     )
-    with_grams = docs.select(F.col(id_col), grams.alias("grams")).where(F.size("grams") > 0)
-    sizes = with_grams.select(F.col(id_col), F.size("grams").alias("n_grams"))
-    exploded = with_grams.select(F.col(id_col), F.explode("grams").alias("g"))
+    # Explode the gram expression INLINE: explode over a separately projected
+    # alias column measures ~10x slower here (the generate re-evaluates the
+    # projected array), and a size()>0 pre-filter is unnecessary — explode
+    # drops empty arrays and the inner joins exclude gram-less docs.
+    sizes = docs.select(F.col(id_col), F.size(grams).alias("n_grams"))
+    exploded = docs.select(F.col(id_col), F.explode(grams).alias("g"))
 
-    pairs = (
-        exploded.alias("l")
-        .join(exploded.alias("r"), F.col("l.g") == F.col("r.g"))
-        .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-        .groupBy(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
-        .agg(F.count("*").alias("common"))
-    )
+    if candidates is None:
+        pairs = (
+            exploded.alias("l")
+            .join(exploded.alias("r"), F.col("l.g") == F.col("r.g"))
+            .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+            .groupBy(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+            .agg(F.count("*").alias("common"))
+        )
+    else:
+        # (id_a, id_b) x grams-of-a, matched against grams-of-b on (id_b, g):
+        # every join keys on an id, so no gram ever fans out beyond the
+        # candidate pairs that contain it.
+        cand = candidates.select("id_a", "id_b")
+        pairs = (
+            cand.join(exploded.alias("l"), F.col("id_a") == F.col(f"l.{id_col}"))
+            .join(
+                exploded.alias("r"),
+                (F.col("id_b") == F.col(f"r.{id_col}")) & (F.col("l.g") == F.col("r.g")),
+            )
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("common"))
+        )
     return (
         pairs.join(sizes.withColumnsRenamed({id_col: "id_a", "n_grams": "na"}), "id_a")
         .join(sizes.withColumnsRenamed({id_col: "id_b", "n_grams": "nb"}), "id_b")

@@ -41,7 +41,18 @@ WS_SQL = r"\s+"
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name in ("documents", "embeddings"):
+        # The sandbox testdata is one row group per table, so the scan is a
+        # single task; the corpus tables feed CPU-heavy per-row expressions
+        # (gram builds, hashing, kernels), which would otherwise run
+        # single-threaded — including inside broadcast-build jobs. One cheap
+        # shuffle of the small table restores the parallelism a many-file
+        # production table gets from the scan itself.
+        # 8-way, not defaultParallelism: these tables are a few MB, so fatter
+        # tasks beat scheduling 32 tiny ones (straggler variance dominates).
+        df = df.repartition(min(8, spark.sparkContext.defaultParallelism))
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -334,27 +345,76 @@ FROM w GROUP BY doc_id
 """
 
 
-def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    return lsh_candidate_pairs(docs, k=4, bands=2)
-
-
-ORACLE_LSH_PAIRS = rf"""
+#: Shared CTE prefix: 8-hash MinHash -> 2 bands of 4 rows -> bucket cap 100
+#: (the mega-bucket guard mirrored from ``lsh_candidate_pairs``).
+_LSH_BANDED_CTE = rf"""
 WITH w AS (
   SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '{WS_SQL}'))) AS w
   FROM documents),
 sig AS (
   SELECT doc_id,
          min(md5('0:' || w)) AS s0, min(md5('1:' || w)) AS s1,
-         min(md5('2:' || w)) AS s2, min(md5('3:' || w)) AS s3
+         min(md5('2:' || w)) AS s2, min(md5('3:' || w)) AS s3,
+         min(md5('4:' || w)) AS s4, min(md5('5:' || w)) AS s5,
+         min(md5('6:' || w)) AS s6, min(md5('7:' || w)) AS s7
   FROM w GROUP BY doc_id),
 banded AS (
-  SELECT doc_id, unnest(['0|' || s0 || '|' || s1, '1|' || s2 || '|' || s3]) AS band_key
-  FROM sig)
-SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS n_bands
-FROM banded l JOIN banded r ON l.band_key = r.band_key AND l.doc_id < r.doc_id
-GROUP BY 1, 2
+  SELECT doc_id, band_key FROM (
+    SELECT doc_id, unnest([
+      '0|' || s0 || '|' || s1 || '|' || s2 || '|' || s3,
+      '1|' || s4 || '|' || s5 || '|' || s6 || '|' || s7]) AS band_key
+    FROM sig)
+  QUALIFY count(*) OVER (PARTITION BY band_key) <= 100),
+lsh_pairs AS (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS n_bands
+  FROM banded l JOIN banded r ON l.band_key = r.band_key AND l.doc_id < r.doc_id
+  GROUP BY 1, 2)
 """
+
+
+def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return lsh_candidate_pairs(docs, k=8, bands=2, max_bucket=100)
+
+
+ORACLE_LSH_PAIRS = _LSH_BANDED_CTE + "SELECT id_a, id_b, n_bands FROM lsh_pairs"
+
+
+def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-path composition: capped LSH proposes candidate pairs,
+    n-gram Jaccard verifies them — no corpus-wide quadratic join anywhere."""
+    docs = _t(spark, sf_dir, "documents")
+    cands = lsh_candidate_pairs(docs, k=8, bands=2, max_bucket=100)
+    return ngram_jaccard_pairs(
+        docs, n=3, threshold=0.05, candidates=cands
+    ).withColumn("jaccard", F.round("jaccard", 6))
+
+
+ORACLE_DEDUP_PIPELINE = (
+    _LSH_BANDED_CTE
+    + rf""",
+ws AS (
+  SELECT doc_id, string_split_regex(trim(text), '{WS_SQL}') AS ws FROM documents),
+g AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS grams
+  FROM ws WHERE len(ws) >= 3),
+e AS (SELECT doc_id, unnest(grams) AS g FROM g),
+sizes AS (SELECT doc_id, len(grams) AS n_grams FROM g),
+common AS (
+  SELECT p.id_a, p.id_b, count(*) AS common
+  FROM lsh_pairs p
+  JOIN e l ON l.doc_id = p.id_a
+  JOIN e r ON r.doc_id = p.id_b AND r.g = l.g
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(common * 1.0 / (sa.n_grams + sb.n_grams - common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE common * 1.0 / (sa.n_grams + sb.n_grams - common) >= 0.05
+"""
+)
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -574,6 +634,7 @@ QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_minhash_signatures": q_minhash_signatures,
     "q_lsh_candidate_pairs": q_lsh_candidate_pairs,
+    "q_dedup_pipeline": q_dedup_pipeline,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_simhash": q_simhash,
     "q_similarity_topk": q_similarity_topk,
@@ -601,6 +662,7 @@ ORACLES = {
     "q_dedup_exact": ORACLE_DEDUP_EXACT,
     "q_minhash_signatures": ORACLE_MINHASH,
     "q_lsh_candidate_pairs": ORACLE_LSH_PAIRS,
+    "q_dedup_pipeline": ORACLE_DEDUP_PIPELINE,
     "q_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "q_simhash": _oracle_simhash(8),
     "q_similarity_topk": ORACLE_SIM_TOPK,
