@@ -98,3 +98,76 @@ def lsh_topk(
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_lists: int = 8,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via IVF (inverted-file) partitioning.
+
+    Training-free deterministic coarse quantizer: the ``n_lists`` vectors
+    with the smallest ids act as centroids (reproducible in SQL for oracle
+    checks; a production build would k-means them — the search path is
+    identical). Build side: every vector is assigned to its best centroid by
+    cosine (ties -> smallest centroid id). Query side: the ``n_probe`` best
+    centroids for the query are computed driver-side (centroids always fit in
+    driver memory — that is the IVF design point) and only their lists are
+    scanned and exactly re-ranked.
+
+    One narrow pass over the table: per row ``n_lists`` dot products, a
+    filter that prunes ~(1 - n_probe/n_lists) of the corpus before ranking,
+    then the same top-k reduce as brute force. No shuffle except the final k.
+    """
+    dim = len(query)
+    cents = [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in embeddings.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
+        .where(F.col(id_col) < n_lists)
+        .collect()
+    ]
+    if not cents:
+        raise ValueError("no centroid rows with id < n_lists")
+
+    def _qcos(c: list[float]) -> float:
+        num = sum(a * b for a, b in zip(query, c))
+        den = math.sqrt(sum(a * a for a in query)) * math.sqrt(sum(a * a for a in c))
+        return num / den if den else 0.0
+
+    probe_ids = [
+        cid for cid, _ in sorted(cents, key=lambda t: (-_qcos(t[1]), t[0]))[:n_probe]
+    ]
+
+    vec = F.col(vec_col).cast("array<double>")
+    # struct(score, -cid): array_max orders by score, then by -cid, so ties
+    # resolve to the smallest centroid id (mirrored in the SQL oracle as
+    # ORDER BY score DESC, cid ASC).
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    cosine(vec, F.array(*[F.lit(v) for v in c])).alias("s"),
+                    F.lit(-cid).alias("nc"),
+                )
+                for cid, c in cents
+            ]
+        )
+    )
+    assigned = (-best["nc"]).alias("list_id")
+    q = F.array(*[F.lit(float(v)) for v in query])
+    return (
+        embeddings.select(F.col(id_col), vec.alias("v"), assigned)
+        .where(F.col("list_id").isin(probe_ids))
+        .select(
+            F.col(id_col),
+            F.col("list_id"),
+            F.round(cosine(F.col("v"), q), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )

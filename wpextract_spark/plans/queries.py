@@ -29,7 +29,12 @@ from wpextract_spark.operators.multimodal import (
     extract_media_features,
     frame_sample_stub,
 )
-from wpextract_spark.operators.similarity import cosine_topk, hyperplane, lsh_topk
+from wpextract_spark.operators.similarity import (
+    cosine_topk,
+    hyperplane,
+    ivf_topk,
+    lsh_topk,
+)
 from wpextract_spark.operators.textstats import (
     fingerprints,
     lang_id,
@@ -513,6 +518,47 @@ ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
 """
 
 
+def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: deterministic coarse quantizer (vec_id < n_lists as
+    centroids), probe the 3 best lists, exact re-rank inside them."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, _SIM_QUERY, k=10, n_lists=8, n_probe=3)
+
+
+def _oracle_sim_ivf(dim: int = 64, n_lists: int = 8, n_probe: int = 3, k: int = 10) -> str:
+    # query = [1, 0, 0, ...]: q . v == v[1] and |q| == 1.
+    dot = (
+        f"list_sum([CAST(e.embedding[i+1] AS DOUBLE) * CAST(c.cv[i+1] AS DOUBLE) "
+        f"for i in range({dim})])"
+    )
+    norm_e = "sqrt(list_sum([CAST(x AS DOUBLE) * x for x in e.embedding]))"
+    norm_c = "sqrt(list_sum([CAST(x AS DOUBLE) * x for x in c.cv]))"
+    return f"""
+WITH c AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {n_lists}),
+score AS (
+  SELECT e.vec_id, c.cid, {dot} / ({norm_e} * {norm_c}) AS s
+  FROM embeddings e CROSS JOIN c),
+assigned AS (
+  SELECT vec_id, cid AS list_id FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) rn
+    FROM score) WHERE rn = 1),
+probe AS (
+  SELECT cid FROM (
+    SELECT cid, row_number() OVER (
+      ORDER BY CAST(cv[1] AS DOUBLE) / sqrt(list_sum([CAST(x AS DOUBLE) * x for x in cv])) DESC,
+               cid ASC) rn
+    FROM c) WHERE rn <= {n_probe})
+SELECT e.vec_id, a.list_id,
+       round(CAST(e.embedding[1] AS DOUBLE) / sqrt(list_sum([CAST(x AS DOUBLE) * x for x in e.embedding])), 6) AS cos_sim
+FROM embeddings e
+JOIN assigned a ON a.vec_id = e.vec_id
+WHERE a.list_id IN (SELECT cid FROM probe)
+ORDER BY cos_sim DESC, e.vec_id ASC LIMIT {k}
+"""
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_stats(_t(spark, sf_dir, "documents"))
 
@@ -639,6 +685,7 @@ QUERIES = {
     "q_simhash": q_simhash,
     "q_similarity_topk": q_similarity_topk,
     "q_similarity_lsh": q_similarity_lsh,
+    "q_similarity_ivf": q_similarity_ivf,
     "q_token_stats": q_token_stats,
     "q_quality_scores": q_quality_scores,
     "q_fingerprints": q_fingerprints,
@@ -667,6 +714,7 @@ ORACLES = {
     "q_simhash": _oracle_simhash(8),
     "q_similarity_topk": ORACLE_SIM_TOPK,
     "q_similarity_lsh": _oracle_sim_lsh(),
+    "q_similarity_ivf": _oracle_sim_ivf(),
     "q_token_stats": ORACLE_TOKEN_STATS,
     "q_quality_scores": _oracle_quality(),
     "q_fingerprints": ORACLE_FINGERPRINTS,
