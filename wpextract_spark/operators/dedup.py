@@ -195,3 +195,53 @@ def simhash(
         *[F.when(F.col(f"v_{b}") > 0, F.lit("1")).otherwise(F.lit("0")) for b in range(bits)]
     )
     return voted.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-duplicate pairs: banded bucketing + exact Hamming verify.
+
+    Split the ``bits``-bit signature into ``bands`` chunks; by pigeonhole,
+    any pair within Hamming distance < ``bands`` shares at least one intact
+    chunk, so candidates come from equality joins on chunk values (no
+    quadratic sweep), then the full Hamming distance filters to
+    <= ``max_hamming``. Output: (id_a, id_b, hamming).
+    """
+    if bits % bands:
+        raise ValueError("bits must be divisible by bands")
+    width = bits // bands
+    sig = simhash(docs, id_col, text_col, bits)
+    chunk_cols = [
+        F.concat_ws("|", F.lit(b), F.substring("simhash", b * width + 1, width))
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*chunk_cols)).alias("chunk")
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    hamming = sum(
+        F.when(
+            F.substring(F.col("l.simhash"), b + 1, 1)
+            != F.substring(F.col("r.simhash"), b + 1, 1),
+            1,
+        ).otherwise(0)
+        for b in range(bits)
+    )
+    return (
+        left.join(right, F.col("l.chunk") == F.col("r.chunk"))
+        .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

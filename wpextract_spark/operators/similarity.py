@@ -171,3 +171,40 @@ def ivf_topk(
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via sign-LSH bucketing.
+
+    Vectors sharing all ``n_planes`` hyperplane signs land in one bucket;
+    pairs are formed only inside buckets (the self-join shuffles on the
+    bucket key, never cross-bucket) and verified exactly with cosine >=
+    threshold. Output: (id_a, id_b, cos_sim). Recall/cost knob: more planes
+    -> smaller buckets -> cheaper join, lower recall (standard sign-LSH
+    trade-off); at corpus scale run R independent plane sets and union.
+    """
+    probe_dim = embeddings.select(F.size(vec_col)).first()[0]
+    planes = [hyperplane(p, probe_dim) for p in range(n_planes)]
+    vec = F.col(vec_col).cast("array<double>")
+    bucketed = embeddings.select(
+        F.col(id_col), vec.alias("v"), _bucket(vec, planes).alias("bucket")
+    )
+    left = bucketed.alias("l")
+    right = bucketed.alias("r")
+    sim = F.round(cosine(F.col("l.v"), F.col("r.v")), 6)
+    return (
+        left.join(right, F.col("l.bucket") == F.col("r.bucket"))
+        .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            sim.alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from wpextract_spark.operators.dedup import (
     exact_duplicate_groups,
+    simhash_near_dup_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
@@ -32,6 +33,7 @@ from wpextract_spark.operators.multimodal import (
 from wpextract_spark.operators.similarity import (
     cosine_topk,
     hyperplane,
+    embedding_near_dup_pairs,
     ivf_topk,
     lsh_topk,
 )
@@ -559,6 +561,74 @@ ORDER BY cos_sim DESC, e.vec_id ASC LIMIT {k}
 """
 
 
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: sign-LSH bucket self-join + exact
+    cosine verify (threshold suits the random synthetic vectors)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.3, n_planes=4)
+
+
+def _oracle_emb_near_dups(dim: int = 64, n_planes: int = 4, threshold: float = 0.3) -> str:
+    plane_sql = []
+    for plane in [hyperplane(p, dim) for p in range(n_planes)]:
+        lit = "[" + ", ".join(f"{v!r}" for v in plane) + "]"
+        plane_sql.append(
+            f"(CASE WHEN list_sum([CAST(embedding[i+1] AS DOUBLE) * ({lit})[i+1] "
+            f"for i in range({dim})]) > 0 THEN '1' ELSE '0' END)"
+        )
+    bucket = " || ".join(plane_sql)
+    dot = (
+        f"list_sum([CAST(l.embedding[i+1] AS DOUBLE) * CAST(r.embedding[i+1] AS DOUBLE) "
+        f"for i in range({dim})])"
+    )
+    norm = "sqrt(list_sum([CAST(x AS DOUBLE) * x for x in {s}.embedding]))"
+    cos = f"round({dot} / ({norm.format(s='l')} * {norm.format(s='r')}), 6)"
+    return f"""
+WITH b AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings)
+SELECT l.vec_id AS id_a, r.vec_id AS id_b, {cos} AS cos_sim
+FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+WHERE {cos} >= {threshold}
+"""
+
+
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: banded chunk join + exact Hamming verify."""
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs, bits=16, bands=2, max_hamming=2)
+
+
+def _oracle_simhash_near_dups(bits: int = 16, bands: int = 2, max_hamming: int = 2) -> str:
+    width = bits // bands
+    votes = ", ".join(
+        f"sum(CASE WHEN substr(md5(w), {b + 1}, 1) IN ('8','9','a','b','c','d','e','f') "
+        f"THEN 1 ELSE -1 END) AS v_{b}"
+        for b in range(bits)
+    )
+    concat = " || ".join(f"(CASE WHEN v_{b} > 0 THEN '1' ELSE '0' END)" for b in range(bits))
+    chunks = ", ".join(
+        f"'{b}' || '|' || substr(simhash, {b * width + 1}, {width})" for b in range(bands)
+    )
+    hamming = " + ".join(
+        f"(CASE WHEN substr(sa, {b + 1}, 1) <> substr(sb, {b + 1}, 1) THEN 1 ELSE 0 END)"
+        for b in range(bits)
+    )
+    return rf"""
+WITH w AS (
+  SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '{WS_SQL}'))) AS w
+  FROM documents),
+v AS (SELECT doc_id, {votes} FROM w GROUP BY doc_id),
+s AS (SELECT doc_id, {concat} AS simhash FROM v),
+chunks AS (SELECT doc_id, simhash, unnest([{chunks}]) AS chunk FROM s),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+                  l.simhash AS sa, r.simhash AS sb
+  FROM chunks l JOIN chunks r ON l.chunk = r.chunk AND l.doc_id < r.doc_id)
+SELECT id_a, id_b, hamming FROM (
+  SELECT id_a, id_b, {hamming} AS hamming FROM pairs)
+WHERE hamming <= {max_hamming}
+"""
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_stats(_t(spark, sf_dir, "documents"))
 
@@ -686,6 +756,8 @@ QUERIES = {
     "q_similarity_topk": q_similarity_topk,
     "q_similarity_lsh": q_similarity_lsh,
     "q_similarity_ivf": q_similarity_ivf,
+    "q_embedding_near_dups": q_embedding_near_dups,
+    "q_simhash_near_dups": q_simhash_near_dups,
     "q_token_stats": q_token_stats,
     "q_quality_scores": q_quality_scores,
     "q_fingerprints": q_fingerprints,
@@ -715,6 +787,8 @@ ORACLES = {
     "q_similarity_topk": ORACLE_SIM_TOPK,
     "q_similarity_lsh": _oracle_sim_lsh(),
     "q_similarity_ivf": _oracle_sim_ivf(),
+    "q_embedding_near_dups": _oracle_emb_near_dups(),
+    "q_simhash_near_dups": _oracle_simhash_near_dups(),
     "q_token_stats": ORACLE_TOKEN_STATS,
     "q_quality_scores": _oracle_quality(),
     "q_fingerprints": ORACLE_FINGERPRINTS,
