@@ -30,6 +30,7 @@ from wpextract_spark.operators.multimodal import (
     extract_media_features,
     frame_sample_stub,
 )
+from wpextract_spark.operators.skew import salted_agg, salted_join
 from wpextract_spark.operators.similarity import (
     cosine_topk,
     hyperplane,
@@ -629,6 +630,49 @@ WHERE hamming <= {max_hamming}
 """
 
 
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key aggregation via explicit two-stage salting (partials by
+    (key, salt), then merge by key) — row-identical to the plain groupBy."""
+    orders = _t(spark, sf_dir, "orders")
+    out = salted_agg(
+        orders, ["o_custkey"], {"o_orderkey": "count", "o_totalprice": "max"}, buckets=8
+    )
+    return out.select(
+        "o_custkey",
+        F.col("count_o_orderkey").alias("n_orders"),
+        F.round("max_o_totalprice", 2).alias("max_price"),
+    )
+
+
+ORACLE_SALTED_AGG = """
+SELECT o_custkey, count(o_orderkey) AS n_orders,
+       round(max(o_totalprice), 2) AS max_price
+FROM orders GROUP BY o_custkey
+"""
+
+
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe large-x-medium equi-join: the skewed side is salted, the
+    other side replicated across salt buckets; aggregate after the join."""
+    lineitem = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(lineitem, orders, ["l_orderkey"], buckets=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.col("l_quantity").cast("long")).alias("total_qty"),
+    )
+
+
+ORACLE_SALTED_JOIN = """
+SELECT o_orderpriority, count(*) AS n_items,
+       sum(CAST(l_quantity AS BIGINT)) AS total_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_stats(_t(spark, sf_dir, "documents"))
 
@@ -758,6 +802,8 @@ QUERIES = {
     "q_similarity_ivf": q_similarity_ivf,
     "q_embedding_near_dups": q_embedding_near_dups,
     "q_simhash_near_dups": q_simhash_near_dups,
+    "q_salted_agg": q_salted_agg,
+    "q_salted_join": q_salted_join,
     "q_token_stats": q_token_stats,
     "q_quality_scores": q_quality_scores,
     "q_fingerprints": q_fingerprints,
@@ -789,6 +835,8 @@ ORACLES = {
     "q_similarity_ivf": _oracle_sim_ivf(),
     "q_embedding_near_dups": _oracle_emb_near_dups(),
     "q_simhash_near_dups": _oracle_simhash_near_dups(),
+    "q_salted_agg": ORACLE_SALTED_AGG,
+    "q_salted_join": ORACLE_SALTED_JOIN,
     "q_token_stats": ORACLE_TOKEN_STATS,
     "q_quality_scores": _oracle_quality(),
     "q_fingerprints": ORACLE_FINGERPRINTS,
