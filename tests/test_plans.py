@@ -1,0 +1,73 @@
+"""Physical-plan regression guards: the scale-critical plan shapes must not
+silently degrade (broadcast resolution, column pruning, UDF deduplication,
+no cartesian products from salting)."""
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_resolution_joins_are_broadcast(spark):
+    from wpextract_spark.operators.registry import build_registry, registry_contribution
+    from wpextract_spark.operators.resolve import resolve_span_array
+    from wpextract_spark.operators.extract import RESOLVABLE_LINK_TYPE
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    schema = StructType(
+        [StructField("_ord", LongType()), StructField("links", ArrayType(RESOLVABLE_LINK_TYPE))]
+    )
+    df = spark.createDataFrame(
+        [(1, [{"text": "t", "href": "https://s.org/a/", "destination": None}])], schema
+    )
+    reg = build_registry(
+        [registry_contribution(
+            spark.createDataFrame([(7, "https://s.org/a/", 0)], "id long, link string, _ord long"),
+            "link", "post", stage=1,
+        )]
+    )
+    plan = _plan(resolve_span_array(df, "links", reg))
+    # Both registry probes (exact + heuristic key) must be broadcast — the
+    # registry never shuffles the exploded span table. (The remaining
+    # sort-merge join on _ord is the array reassembly: unique uniform key,
+    # co-partitioned — SMJ is the right plan there.)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_entry_scan_prunes_columns(spark):
+    import __spark_entry__ as e
+
+    plan = _plan(e.entry(spark))
+    # documents.parquet has more columns; the scan must read only these three
+    read = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read, plan
+    assert "doc_id" in read[0] and "text" in read[0] and "lang" in read[0]
+    assert "embedding" not in read[0]
+
+
+def test_struct_udf_referenced_many_evaluated_once(spark):
+    from wpextract_spark.operators.extract import content_extract_udf
+
+    df = spark.createDataFrame([("<p>x</p>", "https://a/")], "html string, url string")
+    res = content_extract_udf()(F.col("html"), F.col("url"))
+    out = df.select(
+        res["text"].alias("a"),
+        F.size(res["links_internal"]).alias("b"),
+        F.size(res["links_external"]).alias("c"),
+        F.size(res["images"]).alias("d"),
+        F.size(res["embeds"]).alias("e"),
+    )
+    plan = _plan(out)
+    assert plan.count("ArrowEvalPython") == 1, plan
+
+
+def test_salted_join_no_cartesian(spark):
+    from wpextract_spark.operators.skew import salted_join
+
+    left = spark.range(100).select((F.col("id") % 5).alias("k"), F.col("id").alias("v"))
+    right = spark.range(10).select((F.col("id") % 5).alias("k"), F.col("id").alias("w"))
+    plan = _plan(salted_join(left, right, ["k"], buckets=4))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
