@@ -68,3 +68,28 @@ def test_extraction_matches_direct_kernel(spark, tmp_path):
         for r in pages.select("url", res["text"].alias("text")).collect()
     }
     assert via_job == direct
+
+
+def test_pathological_doc_quarantined(spark, tmp_path):
+    """A document whose extraction raises must fail alone (error column),
+    never the task; lineage counts it."""
+    from pyspark.sql import functions as F
+
+    good = generate_pages(spark, n_pages=10, seed=13)
+    # Deep nesting blows the recursive text walk's Python recursion limit.
+    bomb = ("<div>" * 20000) + "boom" + ("</div>" * 20000)
+    bad = spark.createDataFrame(
+        [("https://bad.example.org/x/", None, bomb.encode(), "x", "en")],
+        "url string, warc_ts timestamp_ntz, html binary, text string, lang string",
+    )
+    job = ResumableExtractJob(spark, good.unionByName(bad), tmp_path / "q", n_chunks=1)
+    results = job.run()
+    out = job.output()
+    assert out.count() == 11
+    errs = out.where(F.col("content.error").isNotNull())
+    assert errs.count() == 1
+    assert errs.first()["url"] == "https://bad.example.org/x/"
+    m = job.metrics()
+    assert m.agg(F.sum("n_errors")).first()[0] == 1
+    # the ten good docs extracted normally
+    assert out.where(F.col("content.text").isNotNull()).count() == 10

@@ -85,6 +85,11 @@ CONTENT_RESULT_TYPE = StructType(
         StructField("links_external", ArrayType(LINK_TYPE)),
         StructField("embeds", ArrayType(StringType())),
         StructField("images", ArrayType(IMAGE_TYPE)),
+        # Per-document quarantine: at 10^12 docs one pathological page must
+        # fail alone, not kill its task (and with it the stage). Non-null =
+        # extraction failed; all other fields null. Filter with
+        # ``res["error"].isNull()`` / route errors to a quarantine sink.
+        StructField("error", StringType()),
     ]
 )
 
@@ -108,19 +113,25 @@ CANDIDATES_TYPE = StructType(
 def content_extract_udf():
     """(html, self_url) -> fused content struct. The flagship kernel stage."""
 
+    _cols = ["text", "links_internal", "links_external", "embeds", "images", "error"]
+    _null_row = dict.fromkeys(_cols)
+
     @F.pandas_udf(CONTENT_RESULT_TYPE)
     def _extract(html: pd.Series, url: pd.Series) -> pd.DataFrame:
         rows = []
         for doc_html, self_link in zip(html, url):
             if doc_html is None:
-                rows.append(
-                    {"text": None, "links_internal": None, "links_external": None,
-                     "embeds": None, "images": None}
-                )
+                rows.append(_null_row)
                 continue
-            doc = parse_html(doc_html)
-            rows.append(extract_content(doc, self_link or ""))
-        return pd.DataFrame(rows, columns=["text", "links_internal", "links_external", "embeds", "images"])
+            try:
+                doc = parse_html(doc_html)
+                row = extract_content(doc, self_link or "")
+                row["error"] = None
+            except Exception as exc:  # quarantine, never fail the task
+                row = dict(_null_row)
+                row["error"] = f"{type(exc).__name__}: {exc}"[:500]
+            rows.append(row)
+        return pd.DataFrame(rows, columns=_cols)
 
     return _extract
 

@@ -40,8 +40,8 @@ from pyspark.sql import functions as F
 from wpextract_spark.operators.extract import content_extract_udf
 
 METRICS_SCHEMA = (
-    "chunk INT, partition_id INT, n_docs BIGINT, n_bytes_in BIGINT, "
-    "n_bytes_out BIGINT, wall_s DOUBLE, run_id STRING"
+    "chunk INT, partition_id INT, n_docs BIGINT, n_errors BIGINT, "
+    "n_bytes_in BIGINT, n_bytes_out BIGINT, wall_s DOUBLE, run_id STRING"
 )
 
 
@@ -129,6 +129,7 @@ class ResumableExtractJob:
         written = self.spark.read.parquet(str(chunk_dir))
         lineage = written.groupBy("partition_id").agg(
             F.count("*").alias("n_docs"),
+            F.count("content.error").alias("n_errors"),
             F.sum("_bytes_in").alias("n_bytes_in"),
             F.sum(F.octet_length("content.text")).alias("n_bytes_out"),
         )
@@ -136,6 +137,7 @@ class ResumableExtractJob:
             F.lit(chunk).cast("int").alias("chunk"),
             F.col("partition_id").cast("int"),
             "n_docs",
+            "n_errors",
             "n_bytes_in",
             "n_bytes_out",
             F.lit(wall_s).alias("wall_s"),
