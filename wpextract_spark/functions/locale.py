@@ -260,7 +260,12 @@ def extract_locale(link: str) -> Optional[str]:
     not excluded, and carry no extension subtags (extension-bearing parses of
     slugs like ``don-t-let-...`` are rejected as mis-parses).
     """
-    path = urlparse(link).path
+    try:
+        path = urlparse(link).path
+    except ValueError:
+        # urlparse raises on malformed bracket hosts ("http://[") — a crawl
+        # corpus will contain them; no url, no locale.
+        return None
     first = remove_ends(path, "/").split("/")[0]
     parsed = parse_tag(first)
     if parsed is None or first.lower() in _EXCLUDED_SEGMENTS:

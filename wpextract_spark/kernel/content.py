@@ -20,6 +20,13 @@ from urllib.parse import urljoin, urlparse, urlunparse
 from wpextract_spark.functions.text import squash_whitespace
 from wpextract_spark.htmlkit.dom import CommentNode, Tag, TextNode
 
+
+def _safe_netloc(link: str) -> str:
+    try:
+        return urlparse(link).netloc
+    except ValueError:
+        return ""
+
 #: Subtrees whose text never reaches the body text (reference content.py:14).
 EXCLUDED_CONTENT_TAGS = frozenset({"figcaption", "table"})
 #: Tags that contribute a newline at their open position (content.py:15).
@@ -57,13 +64,19 @@ def extract_links(doc: Tag, self_link: str) -> tuple[list[dict[str, Any]], list[
     """
     internal: list[dict[str, Any]] = []
     external: list[dict[str, Any]] = []
-    self_netloc = urlparse(self_link).netloc
+    self_netloc = _safe_netloc(self_link)
     for a in doc.find_all("a"):
         text = squash_whitespace(a.get_text())
         if not a.has_attr("href"):
             external.append({"text": text, "href": None})
             continue
-        href_parsed = urlparse(urljoin(self_link, a["href"]))
+        try:
+            href_parsed = urlparse(urljoin(self_link, a["href"]))
+        except ValueError:
+            # Unparsable href (e.g. malformed IPv6 bracket host): keep the
+            # raw value as an external link rather than dropping the span.
+            external.append({"text": text, "href": a["href"]})
+            continue
         if href_parsed.netloc == self_netloc:
             internal.append(
                 {"text": text, "href": urlunparse(href_parsed), "destination": None}
@@ -87,7 +100,7 @@ def extract_images(doc: Tag, self_link: str) -> list[dict[str, Any]]:
     the ``destination`` key exists only for internal uses.
     """
     out: list[dict[str, Any]] = []
-    self_netloc = urlparse(self_link).netloc
+    self_netloc = _safe_netloc(self_link)
     for img in doc.find_all("img"):
         alt = img.get("alt")
         caption = get_caption(img)
@@ -96,7 +109,14 @@ def extract_images(doc: Tag, self_link: str) -> list[dict[str, Any]]:
                 {"src": "", "alt": alt, "caption": caption, "destination": None, "internal": False}
             )
             continue
-        src_parsed = urlparse(urljoin(self_link, img["src"]))
+        try:
+            src_parsed = urlparse(urljoin(self_link, img["src"]))
+        except ValueError:
+            out.append(
+                {"src": img["src"], "alt": alt, "caption": caption,
+                 "destination": None, "internal": False}
+            )
+            continue
         out.append(
             {
                 "src": urlunparse(src_parsed),

@@ -24,7 +24,10 @@ from wpextract_spark.functions.text import remove_ends
 
 def preview_stripped_href(href: str) -> str:
     """Strip the whole query if it contains ``preview_id``."""
-    parsed = urlparse(href)
+    try:
+        parsed = urlparse(href)
+    except ValueError:  # malformed bracket host etc. — nothing to strip
+        return href
     if "preview_id" in parsed.query:
         return urlunparse(parsed._replace(query=""))
     return href
@@ -36,7 +39,10 @@ def category_heuristic_href(href: str) -> Optional[str]:
     ``href`` must already be preview-stripped (the reference derives the
     heuristic from the stripped parse, ``link_resolver.py:26-57``).
     """
-    parsed = urlparse(href)
+    try:
+        parsed = urlparse(href)
+    except ValueError:  # unparsable href has no derivable heuristic key
+        return None
     path_parts = remove_ends(parsed.path, "/").split("/")
     lang = None
     # Case /fr/category/article/
