@@ -122,3 +122,50 @@ def documents_as_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
             (F.length(text_col) / 100.0).alias("duration_s"),
         ).alias("meta"),
     )
+
+
+def resize_stub(
+    media: DataFrame,
+    width: int,
+    height: int,
+    payload_col: str = "payload",
+    resizer=None,
+) -> DataFrame:
+    """Image-resize plumbing: payload -> payload', meta rewritten to the new
+    dimensions.
+
+    The default "resizer" deterministically downsamples the byte stream to
+    ``width*height`` bytes (real PIL absent); pass ``resizer=`` a callable
+    ``(bytes, w, h) -> bytes`` to plug a real codec. Schema and batch shape —
+    what a real deployment must get right — are identical either way.
+    """
+
+    def _fake_resize(payload: bytes, w: int, h: int) -> bytes:
+        target = max(w * h, 1)
+        if len(payload) <= target:
+            return payload
+        step = len(payload) / target
+        return bytes(payload[int(i * step)] for i in range(target))
+
+    resize = resizer or _fake_resize
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {
+                "media_id": batch["media_id"],
+                "kind": batch["kind"],
+                "payload": batch[payload_col].map(
+                    lambda b: resize(bytes(b), width, height) if b is not None else None
+                ),
+                "meta": batch["meta"].map(
+                    lambda m: {
+                        "mime": m["mime"] if m else None,
+                        "width": width,
+                        "height": height,
+                        "duration_s": m["duration_s"] if m else None,
+                    }
+                ),
+            }
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(_run, MEDIA_SCHEMA)
