@@ -60,3 +60,17 @@ def test_entity_golden_equality(extracted, datatype):
             extra = set(mine) - set(gold)
             assert not extra, f"{datatype} id={gold['id']} extra keys {extra}"
     assert ours == golden
+
+
+def test_export_tables_parquet(extracted, spark, tmp_path):
+    """The distributed parquet sink writes every entity with counts matching
+    the parity export."""
+    from wpextract_spark.plans.pipeline import SparkSiteExtractor
+
+    ex = SparkSiteExtractor(
+        spark, json_root=DATA / "download_out", scrape_root=DATA / "site_scrape"
+    ).extract()
+    counts = ex.export_tables(tmp_path / "tables")
+    assert counts == EXPECTED_DATA_LEN
+    posts = spark.read.parquet(str(tmp_path / "tables" / "posts"))
+    assert "translations" in posts.columns

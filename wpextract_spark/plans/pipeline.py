@@ -328,7 +328,12 @@ class SparkSiteExtractor:
         return self
 
     def export(self, out_dir: Path) -> dict[str, int]:
-        """Write reference-format JSON per entity; returns row counts."""
+        """Write reference-format JSON per entity; returns row counts.
+
+        This is the byte-parity sink (driver-side serializer replicating the
+        reference's key order/escaping — correctness gate only). For bulk
+        output use :meth:`export_tables`.
+        """
         out_dir = Path(out_dir)
         out_dir.mkdir(parents=True, exist_ok=True)
         counts = {}
@@ -337,4 +342,17 @@ class SparkSiteExtractor:
             counts[name] = export_entity_json(
                 ef.df, ef.export_columns, ef.rename, out_dir / file_name
             )
+        return counts
+
+    def export_tables(self, out_dir: Path) -> dict[str, int]:
+        """Scale sink: one parquet table per entity, nested span structs
+        intact, written fully distributed (no driver serialization)."""
+        out_dir = Path(out_dir)
+        counts = {}
+        for name, ef in self.entities.items():
+            if ef.df is None:
+                counts[name] = 0
+                continue
+            ef.df.write.mode("overwrite").parquet(str(out_dir / name))
+            counts[name] = self.spark.read.parquet(str(out_dir / name)).count()
         return counts
