@@ -74,6 +74,11 @@ def main() -> None:
 
     results: dict[int, dict] = {}
     hw: dict[int, float] = {}
+    # This shared VM shows >2x run-to-run throughput swings from co-tenant
+    # load. Interleave ROUNDS passes over the levels and keep each level's
+    # best: the engine's capability under the best conditions each level saw,
+    # which is the comparable quantity when the noise floor moves.
+    ROUNDS = 2
     with tempfile.TemporaryDirectory(prefix="scaling_pages_") as tmp:
         input_path = f"{tmp}/pages.parquet"
         spark = get_session("scaling-gen")
@@ -83,12 +88,16 @@ def main() -> None:
         )
         spark.stop()
 
+        for _round in range(ROUNDS):
+            for cores in LEVELS:
+                time.sleep(20)  # let prior JVM shutdown/load fully drain
+                m = _measure(cores, input_path)
+                if cores not in results or m["docs_per_sec"] > results[cores]["docs_per_sec"]:
+                    results[cores] = m
+    for _round in range(ROUNDS):
         for cores in LEVELS:
-            time.sleep(20)  # let prior JVM shutdown/load fully drain
-            results[cores] = _measure(cores, input_path)
-    for cores in LEVELS:
-        time.sleep(20)
-        hw[cores] = _control(cores)
+            time.sleep(20)
+            hw[cores] = max(hw.get(cores, 0.0), _control(cores))
 
     def eff(lo: int, hi: int, table: dict) -> float:
         t_lo = table[lo]["docs_per_sec"] if isinstance(table[lo], dict) else table[lo]

@@ -673,6 +673,38 @@ GROUP BY o_orderpriority
 """
 
 
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema join: fact lineitem against orders/customer with the tiny
+    nation dim explicitly broadcast — revenue rollup per nation."""
+    lineitem = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(revenue), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+ORACLE_REVENUE_BY_NATION = """
+SELECT n_name,
+       round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_stats(_t(spark, sf_dir, "documents"))
 
@@ -804,6 +836,7 @@ QUERIES = {
     "q_simhash_near_dups": q_simhash_near_dups,
     "q_salted_agg": q_salted_agg,
     "q_salted_join": q_salted_join,
+    "q_revenue_by_nation": q_revenue_by_nation,
     "q_token_stats": q_token_stats,
     "q_quality_scores": q_quality_scores,
     "q_fingerprints": q_fingerprints,
@@ -837,6 +870,7 @@ ORACLES = {
     "q_simhash_near_dups": _oracle_simhash_near_dups(),
     "q_salted_agg": ORACLE_SALTED_AGG,
     "q_salted_join": ORACLE_SALTED_JOIN,
+    "q_revenue_by_nation": ORACLE_REVENUE_BY_NATION,
     "q_token_stats": ORACLE_TOKEN_STATS,
     "q_quality_scores": _oracle_quality(),
     "q_fingerprints": ORACLE_FINGERPRINTS,
