@@ -125,7 +125,10 @@ extraction job over the identical deterministic synthetic pages table
 log-uniform page sizes, 64 uniform parquet files) run at N and 4N cores in
 separate JVMs, standing in for N and 4N executors. Timed region: parquet scan
 -> fused parse/boilerplate-strip/span-extract pandas UDF -> noop sink; no
-shuffle, no driver collect; best of 3 passes after a full warm-up pass.
+shuffle, no driver collect; best of 3 passes after a full warm-up pass, and
+best of {ROUNDS} interleaved measurement rounds per level (this shared VM
+shows >2x run-to-run co-tenant noise; per-pass walls are in the run's JSON
+output).
 
 The **hardware control** column is the same extraction kernel run as a plain
 `multiprocessing.Pool(K)` with no Spark at all — it measures this single
