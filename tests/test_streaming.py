@@ -66,3 +66,51 @@ def test_windowed_metrics_batch_semantics(spark):
     # windows are day-aligned and non-overlapping
     starts = [r["window_start"] for r in rows]
     assert len(set(starts)) == len(starts)
+
+
+def test_stateful_first_seen_dedup(spark, tmp_path):
+    """applyInPandasWithState dedup: across micro-batches, each content hash
+    survives exactly once — the first batch's copy wins, later duplicates are
+    suppressed by the state store."""
+    from pyspark.sql import functions as F
+    from wpextract_spark.sources.synth import PAGES_SCHEMA
+    from wpextract_spark.streaming.dedup_stream import first_seen_batch, first_seen_stream
+
+    in_dir, out_dir, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ckpt"
+    batch1 = generate_pages(spark, n_pages=30, seed=21, partitions=1)
+    batch1.write.mode("append").parquet(str(in_dir))
+
+    def drain():
+        stream = spark.readStream.schema(PAGES_SCHEMA).parquet(str(in_dir))
+        q = (
+            first_seen_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", str(out_dir))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    n1 = batch1.select(F.md5("text")).distinct().count()
+    out1 = spark.read.parquet(str(out_dir))
+    assert out1.count() == n1  # one survivor per distinct content hash
+
+    # Second batch: exact duplicates (same text, new urls) + fresh docs.
+    dup = batch1.withColumn("url", F.concat(F.col("url"), F.lit("copy/")))
+    new = generate_pages(spark, n_pages=10, seed=77, partitions=1)
+    dup.unionByName(new).write.mode("append").parquet(str(in_dir))
+    drain()
+
+    n_total = (
+        batch1.unionByName(new).select(F.md5("text")).distinct().count()
+    )
+    out2 = spark.read.parquet(str(out_dir))
+    assert out2.count() == n_total  # every duplicate suppressed by state
+    assert out2.where(F.col("url").endswith("copy/")).count() == 0
+
+    # Batch reference semantics agree with the streamed result set.
+    ref = first_seen_batch(batch1.unionByName(dup).unionByName(new))
+    assert ref.count() == n_total
