@@ -4,7 +4,10 @@ The reference engine (wpextract, see ``/root/reference/src/wpextract/parse/html.
 parses HTML with BeautifulSoup+lxml. Neither library is available in this
 environment, and the goal is a from-scratch engine anyway, so this module
 implements the small slice of DOM behaviour the extraction kernel actually
-depends on, on top of the stdlib ``html.parser``:
+depends on. Tokenization is the single-pass regex tokenizer in
+``htmlkit.tokenize`` (~2x the stdlib ``html.parser`` throughput; the stdlib
+path is kept as ``parse_html_stdlib`` and pinned equivalent by
+``tests/test_htmlkit_diff.py``). The tree provides:
 
 * a node tree with tags / text / comments and parent pointers,
 * document-order descendant traversal (pre-order, tags before their children),
@@ -22,6 +25,8 @@ from __future__ import annotations
 from collections.abc import Iterator
 from html.parser import HTMLParser
 from typing import Optional, Union
+
+from wpextract_spark.htmlkit.tokenize import fast_feed
 
 #: Elements that never have children (HTML5 void elements).
 VOID_ELEMENTS = frozenset(
@@ -105,6 +110,21 @@ _SIBLING_CLOSERS = {
 #: Scope boundaries: an implicit <p> close never crosses one of these.
 _P_SCOPE_BOUNDARY = frozenset({"[document]", "html", "body", "table", "td", "th", "caption"})
 
+#: Tags that can trigger any implicit close at all — the _implicit_close
+#: early-exit gate (most tags trigger none).
+_ANY_CLOSER = frozenset(_SIBLING_CLOSERS) | _P_CLOSERS
+
+#: Maximum open-element depth. Real pages nest a few dozen levels; browsers
+#: and libxml2 cap recovery-parse depth in the same order of magnitude. An
+#: adversarial page (<div> x 100k) otherwise costs unbounded memory at
+#: corpus scale — exceeding the cap raises, and the UDF-level quarantine
+#: (operators/extract.py) routes the document to the error column.
+MAX_TREE_DEPTH = 1000
+
+
+class ParseDepthError(ValueError):
+    """Open-element stack exceeded MAX_TREE_DEPTH (adversarial nesting)."""
+
 
 class Node:
     """Base node with a parent pointer."""
@@ -121,7 +141,7 @@ class TextNode(Node):
     __slots__ = ("text",)
 
     def __init__(self, text: str) -> None:
-        super().__init__()
+        self.parent = None
         self.text = text
 
     def __repr__(self) -> str:  # pragma: no cover - debug aid
@@ -136,7 +156,7 @@ class CommentNode(Node):
     __slots__ = ("text",)
 
     def __init__(self, text: str) -> None:
-        super().__init__()
+        self.parent = None
         self.text = text
 
     def __repr__(self) -> str:  # pragma: no cover - debug aid
@@ -149,7 +169,7 @@ class Tag(Node):
     __slots__ = ("name", "attrs", "children")
 
     def __init__(self, name: str, attrs: Optional[dict[str, str]] = None) -> None:
-        super().__init__()
+        self.parent = None
         self.name = name
         self.attrs: dict[str, str] = attrs or {}
         self.children: list[Node] = []
@@ -263,12 +283,22 @@ class Tag(Node):
 
 
 class Document(Tag):
-    """Root of a parsed document."""
+    """Root of a parsed document.
 
-    __slots__ = ()
+    The builder records every ``<a>``/``<img>``/``<iframe>`` element here as
+    it is constructed (document order), so the span extractors read a ready
+    list instead of re-walking the whole tree once per tag kind — the walks
+    were ~25% of kernel time on real pages. The lists are exactly what
+    ``find_all`` on the root would return.
+    """
+
+    __slots__ = ("anchors", "images", "iframes")
 
     def __init__(self) -> None:
         super().__init__("[document]")
+        self.anchors: list[Tag] = []
+        self.images: list[Tag] = []
+        self.iframes: list[Tag] = []
 
     @property
     def head(self) -> Optional[Tag]:
@@ -293,6 +323,8 @@ class _TreeBuilder(HTMLParser):
         return self._stack[-1]
 
     def _implicit_close(self, name: str) -> None:
+        if name not in _ANY_CLOSER:
+            return
         # Sibling-style auto close: <li> closes an open <li>, etc.
         closers = _SIBLING_CLOSERS.get(name)
         if closers:
@@ -311,8 +343,20 @@ class _TreeBuilder(HTMLParser):
     def _append_leaf(self, node: Node) -> None:
         self._top().append(node)
 
+    _SPAN_TAGS = frozenset({"a", "img", "iframe"})
+
+    def _record_span_tag(self, node: Tag) -> None:
+        if node.name == "img":
+            self.root.images.append(node)
+        elif node.name == "a":
+            self.root.anchors.append(node)
+        else:
+            self.root.iframes.append(node)
+
     @staticmethod
-    def _build_attrs(attrs: list[tuple[str, Optional[str]]]) -> dict[str, str]:
+    def _build_attrs(attrs) -> dict[str, str]:
+        if type(attrs) is dict:  # fast tokenizer already built the dict
+            return attrs
         out: dict[str, str] = {}
         for key, value in attrs:
             if key not in out:  # first occurrence wins, like libxml2
@@ -321,20 +365,28 @@ class _TreeBuilder(HTMLParser):
 
     # -- HTMLParser callbacks ---------------------------------------------
 
-    def handle_starttag(self, tag: str, attrs: list[tuple[str, Optional[str]]]) -> None:
-        if tag in VOID_ELEMENTS:
-            self._implicit_close(tag)
-            self._append_leaf(Tag(tag, self._build_attrs(attrs)))
-            return
+    def handle_starttag(self, tag: str, attrs) -> None:
         self._implicit_close(tag)
-        node = Tag(tag, self._build_attrs(attrs))
-        self._top().append(node)
-        self._stack.append(node)
+        node = Tag(tag, attrs if type(attrs) is dict else self._build_attrs(attrs))
+        top = self._stack[-1]
+        node.parent = top
+        top.children.append(node)
+        if tag not in VOID_ELEMENTS:
+            if len(self._stack) >= MAX_TREE_DEPTH:
+                raise ParseDepthError(
+                    f"element depth exceeds {MAX_TREE_DEPTH} at <{tag}>"
+                )
+            self._stack.append(node)
+        if tag in self._SPAN_TAGS:
+            self._record_span_tag(node)
 
-    def handle_startendtag(self, tag: str, attrs: list[tuple[str, Optional[str]]]) -> None:
+    def handle_startendtag(self, tag: str, attrs) -> None:
         # Self-closing syntax: always an empty element.
         self._implicit_close(tag)
-        self._append_leaf(Tag(tag, self._build_attrs(attrs)))
+        node = Tag(tag, attrs if type(attrs) is dict else self._build_attrs(attrs))
+        self._append_leaf(node)
+        if tag in self._SPAN_TAGS:
+            self._record_span_tag(node)
 
     def handle_endtag(self, tag: str) -> None:
         if tag in VOID_ELEMENTS:
@@ -347,10 +399,18 @@ class _TreeBuilder(HTMLParser):
 
     def handle_data(self, data: str) -> None:
         if data:
-            self._append_leaf(TextNode(data))
+            node = TextNode(data)
+            top = self._stack[-1]
+            node.parent = top
+            top.children.append(node)
 
     def handle_comment(self, data: str) -> None:
         self._append_leaf(CommentNode(data))
+
+    def updatepos(self, i: int, j: int) -> int:
+        # HTMLParser tracks line/offset solely for error reporting; the
+        # kernel never reads positions, and the scan is ~5% of parse time.
+        return j
 
     # DOCTYPE, processing instructions and unknown declarations carry no
     # extractable content.
@@ -362,6 +422,31 @@ class _TreeBuilder(HTMLParser):
 
     def unknown_decl(self, data: str) -> None:  # pragma: no cover - trivial
         pass
+
+
+def parse_html_stdlib(html: Union[str, bytes], head_only: bool = False) -> Document:
+    """Reference tokenizer path (stdlib HTMLParser). Kept as the differential
+    oracle for the fast tokenizer (tests/test_htmlkit_diff.py)."""
+    if isinstance(html, (bytes, bytearray)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    if head_only:
+        html = _truncate_to_head(html)
+    builder = _TreeBuilder()
+    builder.feed(html)
+    builder.close()
+    return builder.root
+
+
+def _truncate_to_head(html: str) -> str:
+    lower = html.lower()
+    cut = lower.find("</head")
+    if cut != -1:
+        return html[: cut + len("</head>")]
+    # No head close tag: a <body> open tag also ends the head.
+    cut = lower.find("<body")
+    if cut != -1:
+        return html[:cut]
+    return html
 
 
 def parse_html(html: Union[str, bytes], head_only: bool = False) -> Document:
@@ -382,17 +467,8 @@ def parse_html(html: Union[str, bytes], head_only: bool = False) -> Document:
         html = bytes(html).decode("utf-8", errors="replace")
 
     if head_only:
-        lower = html.lower()
-        cut = lower.find("</head")
-        if cut != -1:
-            html = html[: cut + len("</head>")]
-        else:
-            # No head close tag: a <body> open tag also ends the head.
-            cut = lower.find("<body")
-            if cut != -1:
-                html = html[:cut]
+        html = _truncate_to_head(html)
 
     builder = _TreeBuilder()
-    builder.feed(html)
-    builder.close()
+    fast_feed(builder, html)
     return builder.root

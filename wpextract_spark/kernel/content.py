@@ -14,6 +14,7 @@ never leaves this function (SURVEY.md §1.1 note on fused parsing).
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Any, Optional
 from urllib.parse import urljoin, urlparse, urlunparse
 
@@ -21,11 +22,25 @@ from wpextract_spark.functions.text import squash_whitespace
 from wpextract_spark.htmlkit.dom import CommentNode, Tag, TextNode
 
 
+@lru_cache(maxsize=4096)
 def _safe_netloc(link: str) -> str:
     try:
         return urlparse(link).netloc
     except ValueError:
         return ""
+
+
+@lru_cache(maxsize=65536)
+def _absolutize(base: str, href: str) -> Optional[tuple[str, str]]:
+    """``(urlunparse(urlparse(urljoin(base, href))), netloc)``, or None if
+    unparsable. Memoized: inside a long-lived executor the same
+    (page-url, href) pairs recur constantly — nav/footer links repeat on
+    every page of a site — and urljoin+urlparse are ~15% of kernel time."""
+    try:
+        parsed = urlparse(urljoin(base, href))
+    except ValueError:
+        return None
+    return urlunparse(parsed), parsed.netloc
 
 #: Subtrees whose text never reaches the body text (reference content.py:14).
 EXCLUDED_CONTENT_TAGS = frozenset({"figcaption", "table"})
@@ -65,22 +80,21 @@ def extract_links(doc: Tag, self_link: str) -> tuple[list[dict[str, Any]], list[
     internal: list[dict[str, Any]] = []
     external: list[dict[str, Any]] = []
     self_netloc = _safe_netloc(self_link)
-    for a in doc.find_all("a"):
+    anchors = getattr(doc, "anchors", None)
+    if anchors is None:  # non-root subtree: fall back to a tree walk
+        anchors = doc.find_all("a")
+    for a in anchors:
         text = squash_whitespace(a.get_text())
         if not a.has_attr("href"):
             external.append({"text": text, "href": None})
             continue
-        try:
-            href_parsed = urlparse(urljoin(self_link, a["href"]))
-        except ValueError:
+        abs_href = _absolutize(self_link, a["href"])
+        if abs_href is None:
             # Unparsable href (e.g. malformed IPv6 bracket host): keep the
             # raw value as an external link rather than dropping the span.
             external.append({"text": text, "href": a["href"]})
-            continue
-        if href_parsed.netloc == self_netloc:
-            internal.append(
-                {"text": text, "href": urlunparse(href_parsed), "destination": None}
-            )
+        elif abs_href[1] == self_netloc:
+            internal.append({"text": text, "href": abs_href[0], "destination": None})
         else:
             external.append({"text": text, "href": a["href"]})
     return internal, external
@@ -88,7 +102,10 @@ def extract_links(doc: Tag, self_link: str) -> tuple[list[dict[str, Any]], list[
 
 def extract_embeds(doc: Tag) -> list[str]:
     """``src`` of every iframe (reference ``parse/content.py:66-75``)."""
-    return [iframe["src"] for iframe in doc.find_all("iframe") if iframe.has_attr("src")]
+    iframes = getattr(doc, "iframes", None)
+    if iframes is None:
+        iframes = doc.find_all("iframe")
+    return [iframe["src"] for iframe in iframes if iframe.has_attr("src")]
 
 
 def extract_images(doc: Tag, self_link: str) -> list[dict[str, Any]]:
@@ -101,7 +118,10 @@ def extract_images(doc: Tag, self_link: str) -> list[dict[str, Any]]:
     """
     out: list[dict[str, Any]] = []
     self_netloc = _safe_netloc(self_link)
-    for img in doc.find_all("img"):
+    images = getattr(doc, "images", None)
+    if images is None:
+        images = doc.find_all("img")
+    for img in images:
         alt = img.get("alt")
         caption = get_caption(img)
         if not img.has_attr("src"):
@@ -109,9 +129,8 @@ def extract_images(doc: Tag, self_link: str) -> list[dict[str, Any]]:
                 {"src": "", "alt": alt, "caption": caption, "destination": None, "internal": False}
             )
             continue
-        try:
-            src_parsed = urlparse(urljoin(self_link, img["src"]))
-        except ValueError:
+        abs_src = _absolutize(self_link, img["src"])
+        if abs_src is None:
             out.append(
                 {"src": img["src"], "alt": alt, "caption": caption,
                  "destination": None, "internal": False}
@@ -119,11 +138,11 @@ def extract_images(doc: Tag, self_link: str) -> list[dict[str, Any]]:
             continue
         out.append(
             {
-                "src": urlunparse(src_parsed),
+                "src": abs_src[0],
                 "alt": alt,
                 "caption": caption,
                 "destination": None,
-                "internal": src_parsed.netloc == self_netloc,
+                "internal": abs_src[1] == self_netloc,
             }
         )
     return out
@@ -136,18 +155,27 @@ def _walk_text(node: Tag, parts: list[str]) -> None:
     (``parse/content.py:121-136, 152-162``): a tag in ``NEWLINE_TAGS``
     contributes a newline at its open position, text nodes append verbatim,
     comments are skipped, and figcaption/table subtrees are pruned whole.
+    Iterative (explicit stack of child iterators): recursion depth would be
+    DOM depth, and adversarial crawl pages nest arbitrarily.
     """
-    for child in node.children:
-        if isinstance(child, TextNode):
-            parts.append(child.text)
-        elif isinstance(child, CommentNode):
-            continue
-        elif isinstance(child, Tag):
-            if child.name in EXCLUDED_CONTENT_TAGS:
-                continue
-            if child.name in NEWLINE_TAGS:
-                parts.append("\n")
-            _walk_text(child, parts)
+    append = parts.append
+    stack = [iter(node.children)]
+    while stack:
+        for child in stack[-1]:
+            if isinstance(child, TextNode):
+                append(child.text)
+            elif isinstance(child, Tag):
+                name = child.name
+                if name in EXCLUDED_CONTENT_TAGS:
+                    continue
+                if name in NEWLINE_TAGS:
+                    append("\n")
+                if child.children:
+                    stack.append(iter(child.children))
+                    break
+            # CommentNode: skipped
+        else:
+            stack.pop()
 
 
 def extract_text(doc: Tag) -> str:
