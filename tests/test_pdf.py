@@ -1,0 +1,119 @@
+"""PDF text-extraction kernel: generator/parser roundtrips, operator
+boundaries, and quarantine paths (north_rule "PDF/layout parse" leg)."""
+
+import zlib
+
+import pytest
+
+from wpextract_spark.kernel.pdf import (
+    PdfParseError,
+    _content_text,
+    extract_pdf_text,
+    parse_value,
+)
+from wpextract_spark.sources.pdfgen import build_pdf
+
+
+# -- roundtrips -------------------------------------------------------------
+
+
+@pytest.mark.parametrize("compress", [True, False])
+@pytest.mark.parametrize(
+    "pages",
+    [
+        ["hello world"],
+        ["line one\nline two\nline three"],
+        ["page one", "page two\nwith second line"],
+        ["parens (nested (deep)) and \\ backslash\nrow 2"],
+        ["", "only page two has text"],
+        ["a" * 2000],  # long single line
+    ],
+)
+def test_roundtrip(pages, compress):
+    pdf = build_pdf(pages, compress=compress)
+    text, n_pages = extract_pdf_text(pdf)
+    assert n_pages == len(pages)
+    assert text == "\n".join(pages)
+
+
+def test_deterministic_bytes():
+    assert build_pdf(["x", "y"]) == build_pdf(["x", "y"])
+
+
+# -- object model -----------------------------------------------------------
+
+
+def test_parse_value_dict_array_refs():
+    val, _ = parse_value(
+        b"<< /Type /Page /Nums [1 2.5 (s) <414243> true null] /Parent 2 0 R >>", 0
+    )
+    assert str(val["Type"]) == "Page"
+    assert val["Nums"] == [1, 2.5, b"s", b"ABC", True, None]
+    assert val["Parent"].num == 2
+
+
+def test_literal_string_escapes():
+    val, _ = parse_value(rb"(a\(b\)c \\ \n \t \101 \8)", 0)
+    # \8 is not an escape: backslash dropped; \101 is octal 'A'
+    assert val == b"a(b)c \\ \n \t A 8"
+
+
+# -- content-stream interpreter --------------------------------------------
+
+
+def test_tj_array_and_hex_strings():
+    assert _content_text(b"BT [ (A) -120 (B) ] TJ T* <4344> Tj ET") == "AB\nCD"
+
+
+def test_quote_operators_move_lines():
+    assert _content_text(b"BT (a) Tj (b) ' 1 2 (c) \" ET") == "a\nb\nc"
+
+
+def test_inline_image_skipped():
+    content = b"BT (x) Tj BI /W 1 /H 1 ID \x00\xff\x28 EI (y) Tj ET"
+    # binary payload (incl. an unbalanced '(') must not desync the lexer
+    assert _content_text(content) == "xy"
+
+
+# -- quarantine paths -------------------------------------------------------
+
+
+def test_not_a_pdf():
+    with pytest.raises(PdfParseError):
+        extract_pdf_text(b"<html>not a pdf</html>")
+
+
+def test_encrypted_rejected():
+    bad = build_pdf(["x"]).replace(b"/Type /Catalog", b"/Type /Catalog /Encrypt 9 0 R")
+    with pytest.raises(PdfParseError, match="encrypted"):
+        extract_pdf_text(bad)
+
+
+def test_unknown_filter_rejected():
+    bad = build_pdf(["x"]).replace(b"/Filter /FlateDecode", b"/Filter /JPXDecode")
+    with pytest.raises(PdfParseError, match="unsupported stream filter"):
+        extract_pdf_text(bad)
+
+
+def test_corrupt_flate_rejected():
+    good = build_pdf(["stable text"])
+    start = good.find(b"stream\n") + len(b"stream\n")
+    bad = good[:start] + b"\x00\x00" + good[start + 2 :]
+    with pytest.raises(PdfParseError):
+        extract_pdf_text(bad)
+
+
+def test_incremental_update_last_wins():
+    """A re-defined object later in the file (incremental update) wins."""
+    base = build_pdf(["old"], compress=False)
+    # re-append page 4's content object (number 5) with new text
+    new_stream = b"BT (new) Tj ET"
+    update = (
+        b"5 0 obj\n<< /Length "
+        + str(len(new_stream)).encode()
+        + b" >>\nstream\n"
+        + new_stream
+        + b"\nendstream\nendobj\n"
+    )
+    text, n = extract_pdf_text(base + update)
+    assert (text, n) == ("new", 1)

@@ -93,6 +93,16 @@ CONTENT_RESULT_TYPE = StructType(
     ]
 )
 
+PDF_RESULT_TYPE = StructType(
+    [
+        StructField("text", StringType()),
+        StructField("n_pages", LongType()),
+        # Same quarantine contract as CONTENT_RESULT_TYPE: out-of-scope PDFs
+        # (encryption, exotic filters) fail alone, never the task.
+        StructField("error", StringType()),
+    ]
+)
+
 TRANSLATION_RESULT_TYPE = StructType(
     [
         StructField("language", StringType()),
@@ -134,6 +144,60 @@ def content_extract_udf():
         return pd.DataFrame(rows, columns=_cols)
 
     return _extract
+
+
+def pdf_text_udf():
+    """(pdf binary) -> struct<text, n_pages, error>.
+
+    The "PDF/layout parse" leg of the extraction tier (north_rule): the
+    pure-Python parser in ``kernel/pdf.py`` handles the simple-text-PDF
+    majority of a crawl; documents outside its scope land in the error
+    column for quarantine routing, exactly like pathological HTML.
+    """
+    from wpextract_spark.kernel.pdf import extract_pdf_text
+
+    @F.pandas_udf(PDF_RESULT_TYPE)
+    def _pdf(blob: pd.Series) -> pd.DataFrame:
+        rows = []
+        for payload in blob:
+            if payload is None:
+                rows.append({"text": None, "n_pages": None, "error": None})
+                continue
+            try:
+                text, n_pages = extract_pdf_text(payload)
+                rows.append({"text": text, "n_pages": n_pages, "error": None})
+            except Exception as exc:  # quarantine, never fail the task
+                rows.append(
+                    {
+                        "text": None,
+                        "n_pages": None,
+                        "error": f"{type(exc).__name__}: {exc}"[:500],
+                    }
+                )
+        return pd.DataFrame(rows, columns=["text", "n_pages", "error"])
+
+    return _pdf
+
+
+def pdf_build_udf():
+    """(text, page2_text) -> binary simple PDF (deterministic generator).
+
+    Test/bench-side inverse of :func:`pdf_text_udf` — synthesizes crawl-style
+    PDF payloads from the documents corpus (sandbox rule: no external data).
+    """
+    from wpextract_spark.sources.pdfgen import build_pdf
+
+    @F.pandas_udf("binary")
+    def _build(text: pd.Series, page2: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                build_pdf([a, b]) if a is not None else None
+                for a, b in zip(text, page2)
+            ],
+            dtype="object",
+        )
+
+    return _build
 
 
 def translations_udf(pickers: Optional[list[type[LangPicker]]] = None):

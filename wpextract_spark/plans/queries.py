@@ -793,6 +793,38 @@ FROM documents
 """
 
 
+def q_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF leg of the extraction tier: synthesize a deterministic two-page
+    PDF per document (Flate-compressed content streams), then extract its
+    text with the pure-Python PDF parser. The oracle states the roundtrip
+    invariant relationally: extracted text == page-1 text + newline +
+    page-2 text, page count == 2."""
+    from wpextract_spark.operators.extract import pdf_build_udf, pdf_text_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    page2 = F.concat(
+        F.lit("doc "), F.col("doc_id").cast("string"), F.lit("\nsecond line")
+    )
+    pdf = pdf_build_udf()(F.col("text"), page2)
+    res = pdf_text_udf()(pdf)
+    return docs.select(
+        "doc_id",
+        res["text"].alias("pdf_text"),
+        res["n_pages"].alias("n_pages"),
+        res["error"].isNotNull().alias("quarantined"),
+    )
+
+
+ORACLE_PDF_ROUNDTRIP = """
+SELECT doc_id,
+       text || chr(10) || 'doc ' || CAST(doc_id AS VARCHAR)
+            || chr(10) || 'second line' AS pdf_text,
+       CAST(2 AS BIGINT) AS n_pages,
+       false AS quarantined
+FROM documents
+"""
+
+
 def q_pages_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: full fused extraction over the deterministic synthetic pages
     table (NO_ORACLE: the page builder is Python; invariants are pinned by
@@ -844,6 +876,7 @@ QUERIES = {
     "q_multimodal_features": q_multimodal_features,
     "q_frame_sample": q_frame_sample,
     "q_pages_extract": q_pages_extract,
+    "q_pdf_roundtrip": q_pdf_roundtrip,
 }
 
 ORACLES = {
@@ -876,5 +909,6 @@ ORACLES = {
     "q_fingerprints": ORACLE_FINGERPRINTS,
     "q_multimodal_features": ORACLE_MULTIMODAL,
     "q_frame_sample": ORACLE_FRAME_SAMPLE,
+    "q_pdf_roundtrip": ORACLE_PDF_ROUNDTRIP,
     # q_lang_id, q_pages_extract: NO_ORACLE (Python kernel semantics).
 }
