@@ -136,3 +136,44 @@ def test_crawl_first_wins(spark):
     )
     out = {r["url"]: r for r in crawl_self_urls(pages).collect()}
     assert set(out) == {"https://s.org/p/", "https://s.org/q/"}
+
+
+def test_pdf_udf_roundtrip_and_quarantine(spark):
+    """pdf_build_udf -> pdf_text_udf roundtrip on executors, plus the
+    quarantine contract for non-PDF payloads."""
+    from wpextract_spark.operators.extract import pdf_build_udf, pdf_text_udf
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma\ndelta")], "doc_id long, text string"
+    )
+    pdf = pdf_build_udf()(F.col("text"), F.lit("page two"))
+    res = pdf_text_udf()(pdf)
+    rows = {r["doc_id"]: r for r in docs.select(
+        "doc_id", res["text"].alias("t"), res["n_pages"].alias("n"),
+        res["error"].alias("e")).collect()}
+    assert rows[1]["t"] == "alpha beta\npage two" and rows[1]["n"] == 2
+    assert rows[2]["t"] == "gamma\ndelta\npage two"
+    assert rows[1]["e"] is None
+
+    junk = spark.createDataFrame([(1, b"<html>nope</html>")], "id long, blob binary")
+    bad = junk.select(pdf_text_udf()(F.col("blob")).alias("r")).first()["r"]
+    assert bad["text"] is None and "PdfParseError" in bad["error"]
+
+
+def test_main_content_udf(spark):
+    """Readability heuristic runs on executors; pathological page quarantined."""
+    from wpextract_spark.operators.extract import main_content_udf
+
+    body = ("<nav>" + "".join(f'<a href="/m{i}">menu {i}</a>' for i in range(12))
+            + "</nav><article><p>the actual story text of this page</p></article>"
+            + "<footer><a href='/x'>legal</a></footer>")
+    bomb = "<div>" * 3000 + "x"
+    pages = spark.createDataFrame(
+        [(1, f"<html><body>{body}</body></html>"), (2, bomb)], "id long, html string"
+    )
+    res = main_content_udf()(F.col("html"))
+    rows = {r["id"]: r for r in pages.select(
+        "id", res["text"].alias("t"), res["error"].alias("e")).collect()}
+    assert rows[1]["t"] == "the actual story text of this page"
+    assert rows[1]["e"] is None
+    assert rows[2]["t"] is None and "ParseDepthError" in rows[2]["e"]

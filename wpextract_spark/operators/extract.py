@@ -146,6 +146,37 @@ def content_extract_udf():
     return _extract
 
 
+MAIN_CONTENT_RESULT_TYPE = StructType(
+    [StructField("text", StringType()), StructField("error", StringType())]
+)
+
+
+def main_content_udf():
+    """(html) -> struct<text, error>: readability-style main-content text for
+    arbitrary (non-WordPress) pages — the "DOM heuristics" leg of the
+    extraction tier. Same quarantine contract as the other kernel UDFs."""
+    from wpextract_spark.kernel.maincontent import extract_main_content
+
+    @F.pandas_udf(MAIN_CONTENT_RESULT_TYPE)
+    def _main(html: pd.Series) -> pd.DataFrame:
+        rows = []
+        for doc_html in html:
+            if doc_html is None:
+                rows.append({"text": None, "error": None})
+                continue
+            try:
+                rows.append(
+                    {"text": extract_main_content(parse_html(doc_html)), "error": None}
+                )
+            except Exception as exc:  # quarantine, never fail the task
+                rows.append(
+                    {"text": None, "error": f"{type(exc).__name__}: {exc}"[:500]}
+                )
+        return pd.DataFrame(rows, columns=["text", "error"])
+
+    return _main
+
+
 def pdf_text_udf():
     """(pdf binary) -> struct<text, n_pages, error>.
 

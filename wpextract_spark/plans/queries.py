@@ -793,6 +793,48 @@ FROM documents
 """
 
 
+def q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOM-heuristics leg: locate the article body on a generic (non-WP)
+    page drowned in boilerplate — nav menu, link-farm sidebar with its own
+    <p> soup, footer — and extract exactly the main text. The oracle states
+    the invariant: heuristic output == the embedded document text."""
+    from wpextract_spark.operators.extract import main_content_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    nav = F.lit(
+        "<nav><ul>"
+        + "".join(f'<li><a href="/m{i}">menu item {i}</a></li>' for i in range(12))
+        + "</ul></nav>"
+    )
+    sidebar = F.lit(
+        '<div class="sidebar"><p>'
+        + " ".join(f'<a href="/t{i}">tag{i} cloud word</a>' for i in range(10))
+        + "</p></div>"
+    )
+    html = F.concat(
+        F.lit("<html><body><header><h1>Site Title</h1></header>"),
+        nav,
+        F.lit('<div id="page"><main><article><p>'),
+        F.col("text"),
+        F.lit("</p></article></main></div>"),
+        sidebar,
+        F.lit("<footer><p>copyright boilerplate links "),
+        F.lit('<a href="/about">about</a> <a href="/contact">contact</a>'),
+        F.lit("</p></footer></body></html>"),
+    )
+    res = main_content_udf()(html)
+    return docs.select(
+        "doc_id",
+        res["text"].alias("main_text"),
+        res["error"].isNotNull().alias("quarantined"),
+    )
+
+
+ORACLE_MAIN_CONTENT = """
+SELECT doc_id, text AS main_text, false AS quarantined FROM documents
+"""
+
+
 def q_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF leg of the extraction tier: synthesize a deterministic two-page
     PDF per document (Flate-compressed content streams), then extract its
@@ -877,6 +919,7 @@ QUERIES = {
     "q_frame_sample": q_frame_sample,
     "q_pages_extract": q_pages_extract,
     "q_pdf_roundtrip": q_pdf_roundtrip,
+    "q_main_content": q_main_content,
 }
 
 ORACLES = {
@@ -910,5 +953,6 @@ ORACLES = {
     "q_multimodal_features": ORACLE_MULTIMODAL,
     "q_frame_sample": ORACLE_FRAME_SAMPLE,
     "q_pdf_roundtrip": ORACLE_PDF_ROUNDTRIP,
+    "q_main_content": ORACLE_MAIN_CONTENT,
     # q_lang_id, q_pages_extract: NO_ORACLE (Python kernel semantics).
 }
