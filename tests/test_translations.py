@@ -103,3 +103,23 @@ def test_doc_is_none():
     )
     assert lang is None
     assert translations == []
+
+
+def test_attribute_selectors():
+    """[attr] presence and [attr=value] selectors (reference pickers use
+    a[lang], _pickers.py:196-221) — the custom-picker plugin surface."""
+    from wpextract_spark.htmlkit.dom import parse_html
+
+    doc = parse_html(
+        '<ul><li class="lang-item current-lang"><a lang="fr" href="/fr/">fr</a></li>'
+        '<li class="lang-item"><a href="/de/">de</a></li></ul>'
+        '<link rel="alternate" hreflang="en" href="/en/"/>'
+    )
+    assert [a["lang"] for a in doc.select("a[lang]")] == ["fr"]
+    assert doc.select_one(".lang-item.current-lang a[lang]")["href"] == "/fr/"
+    assert len(doc.select("[rel=alternate]")) == 1
+    assert len(doc.select('[rel="alternate"]')) == 1
+    assert len(doc.select("a[lang=fr]")) == 1
+    assert doc.select("a[lang=de]") == []
+    # presence requires the attribute, not just the tag
+    assert doc.select_one(".lang-item:not(.current-lang) a[lang]") is None

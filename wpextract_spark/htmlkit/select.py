@@ -6,6 +6,9 @@ Supports exactly the selector features the language-picker plugin API uses
 * type selectors (``a``, ``li``), ``*``
 * class selectors (``.lang-item``), compounded (``.lang-item.current-lang``)
 * id selectors (``#polylang``)
+* attribute selectors: presence ``[lang]`` and exact value ``[rel=alternate]``
+  / ``[rel="alternate"]`` (the reference's pickers select ``a[lang]``,
+  ``_pickers.py:196-221``)
 * ``:not(<compound>)``
 * descendant combinator (whitespace) and child combinator (``>``)
 
@@ -27,6 +30,8 @@ _TOKEN = re.compile(
     (?P<name>[a-zA-Z][a-zA-Z0-9_-]*|\*)
   | \.(?P<cls>[a-zA-Z0-9_-]+)
   | \#(?P<id>[a-zA-Z0-9_-]+)
+  | \[(?P<attr>[a-zA-Z_][a-zA-Z0-9_-]*)
+      (?:=(?P<aval>"[^"]*"|'[^']*'|[^\]]*))?\]
   | :not\((?P<not>[^)]*)\)
     """,
     re.VERBOSE,
@@ -38,6 +43,8 @@ class _Compound:
     name: Optional[str] = None
     classes: frozenset[str] = field(default_factory=frozenset)
     id: Optional[str] = None
+    #: (attr_name, required_value_or_None-for-presence) pairs
+    attrs: tuple[tuple[str, Optional[str]], ...] = ()
     nots: tuple["_Compound", ...] = ()
 
 
@@ -49,6 +56,7 @@ def _parse_compound(text: str) -> _Compound:
     name: Optional[str] = None
     classes: set[str] = set()
     tag_id: Optional[str] = None
+    attrs: list[tuple[str, Optional[str]]] = []
     nots: list[_Compound] = []
     pos = 0
     while pos < len(text):
@@ -64,10 +72,18 @@ def _parse_compound(text: str) -> _Compound:
             classes.add(m.group("cls"))
         elif m.group("id"):
             tag_id = m.group("id")
+        elif m.group("attr"):
+            value = m.group("aval")
+            if value is not None and value[:1] in "\"'" and value[:1] == value[-1:]:
+                value = value[1:-1]
+            attrs.append((m.group("attr").lower(), value))
         else:
             nots.append(_parse_compound(m.group("not").strip()))
         pos = m.end()
-    return _Compound(name=name, classes=frozenset(classes), id=tag_id, nots=tuple(nots))
+    return _Compound(
+        name=name, classes=frozenset(classes), id=tag_id,
+        attrs=tuple(attrs), nots=tuple(nots),
+    )
 
 
 def _parse_selector(selector: str) -> list[tuple[str, _Compound]]:
@@ -106,6 +122,12 @@ def _match_compound(tag: Tag, comp: _Compound) -> bool:
         return False
     if comp.id is not None and tag.attrs.get("id") != comp.id:
         return False
+    for attr_name, want in comp.attrs:
+        got = tag.attrs.get(attr_name)
+        if got is None:
+            return False
+        if want is not None and got != want:
+            return False
     for neg in comp.nots:
         if _match_compound(tag, neg):
             return False

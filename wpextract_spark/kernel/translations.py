@@ -97,7 +97,7 @@ class PolylangWidget(LangPicker):
         return self.page_doc.select_one(".widget_polylang")
 
     def extract(self) -> None:
-        current = self._root_select_one(".lang-item.current-lang a")
+        current = self._root_select_one(".lang-item.current-lang a[lang]")
         self.set_current_lang(attr_concat(current["lang"]))
         for a in self.root_el.select(".lang-item:not(.no-translation):not(.current-lang) a"):
             self.add_translation(attr_concat(a["href"]), attr_concat(a["lang"]))
