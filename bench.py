@@ -28,7 +28,10 @@ sys.path.insert(0, str(Path(__file__).parent))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # Pages synthesized for the extraction-throughput probe (deterministic).
-N_BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "8000"))
+# 60k pages: at ~35k docs/s on 32 cores the probe runs ~2s of steady-state
+# work, so fixed stage costs no longer dominate the reported docs/sec (at 8k
+# they swamped it ~6x).
+N_BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "60000"))
 
 
 def _force(df) -> int:

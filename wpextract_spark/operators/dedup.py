@@ -226,14 +226,25 @@ def simhash_near_dup_pairs(
     )
     left = banded.alias("l")
     right = banded.alias("r")
-    hamming = sum(
-        F.when(
-            F.substring(F.col("l.simhash"), b + 1, 1)
-            != F.substring(F.col("r.simhash"), b + 1, 1),
-            1,
-        ).otherwise(0)
-        for b in range(bits)
-    )
+    if bits <= 63:
+        # Hamming via popcount(xor) on the numeric signatures: three JVM ops
+        # per pair instead of `bits` chained substring comparisons (~10x on
+        # the candidate sweep, which dominates this operator — 16-bit
+        # signatures give few distinct band values, so buckets, and the
+        # candidate-pair count, are large).
+        def as_long(col: str):
+            return F.conv(F.col(col), 2, 10).cast("long")
+
+        hamming = F.bit_count(as_long("l.simhash").bitwiseXOR(as_long("r.simhash")))
+    else:  # popcount path needs the signature to fit a long
+        hamming = sum(
+            F.when(
+                F.substring(F.col("l.simhash"), b + 1, 1)
+                != F.substring(F.col("r.simhash"), b + 1, 1),
+                1,
+            ).otherwise(0)
+            for b in range(bits)
+        )
     return (
         left.join(right, F.col("l.chunk") == F.col("r.chunk"))
         .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
@@ -242,6 +253,8 @@ def simhash_near_dup_pairs(
             F.col(f"r.{id_col}").alias("id_b"),
             hamming.alias("hamming"),
         )
-        .distinct()
+        # Filter BEFORE the distinct: the near-dup predicate kills ~99% of
+        # candidate pairs, so the pair-dedup shuffle moves only survivors.
         .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )
