@@ -59,8 +59,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query (omitted for the non-SQL-expressible
-    Python kernels: q_lang_id, q_pages_extract)."""
+    """DuckDB-equivalent SQL per query — every query has one: relational
+    restatements for the DataFrame ops, and construction-derived golden VALUES
+    for the synthetic-page extraction flagship."""
     from wpextract_spark.plans.queries import ORACLES
 
     return dict(ORACLES)

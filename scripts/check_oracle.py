@@ -99,6 +99,25 @@ def main() -> int:
             continue
 
         problems = []
+        # Guard against representational ambiguity the driver's hasher may
+        # render differently than this mirror: no Decimal/hugeint/int128 may
+        # reach the comparison from either engine — cast to double/bigint in
+        # the query AND the oracle instead.
+        import decimal as _dec
+
+        ambiguous_types = {"DECIMAL", "HUGEINT", "INT128", "UHUGEINT"}
+        duck_types = [str(d[1]).upper() for d in cur.description]
+        for col, typ in zip(duck_cols, duck_types):
+            if any(t in typ for t in ambiguous_types):
+                problems.append(f"oracle col {col} has ambiguous type {typ}")
+        for field in sdf.schema.fields:
+            if field.dataType.typeName().startswith("decimal"):
+                problems.append(f"spark col {field.name} has ambiguous type {field.dataType}")
+        for row in spark_rows[:1] + duck_rows[:1]:
+            for v in row:
+                if isinstance(v, _dec.Decimal):
+                    problems.append("Decimal value reached the hasher")
+                    break
         if len(spark_rows) != len(duck_rows):
             problems.append(f"rows {len(spark_rows)} != {len(duck_rows)}")
         if sorted(spark_cols) != sorted(duck_cols):

@@ -1,0 +1,65 @@
+"""CLI surface parity (reference ``tests/cli/test_extract.py`` +
+``cli/_shared.py`` path validation), driving the real pipeline on the golden
+e2e corpus."""
+
+import json
+from pathlib import Path
+
+import pytest
+
+DATA = Path(__file__).parent / "data" / "e2e"
+
+
+def test_cli_extract_golden_corpus(spark, tmp_path):
+    """`extract JSON_ROOT OUT_DIR -S scrape_root` runs the full pipeline and
+    writes the six entity exports (counts match the reference corpus)."""
+    from wpextract_spark.cli import main
+
+    out_dir = tmp_path / "json_out"
+    rc = main(
+        [
+            "extract",
+            str(DATA / "download_out"),
+            str(out_dir),
+            "-S",
+            str(DATA / "site_scrape"),
+        ]
+    )
+    assert rc == 0
+    posts = json.loads((out_dir / "posts.json").read_text())
+    assert len(posts) == 54
+    for name in ("categories", "media", "pages", "tags", "users"):
+        assert (out_dir / f"{name}.json").exists()
+
+
+def test_cli_out_dir_created_and_must_be_empty(tmp_path):
+    from wpextract_spark.cli import build_parser
+
+    parser = build_parser()
+    # Non-existent out dir: created by the parser callback.
+    target = tmp_path / "fresh"
+    args = parser.parse_args(["extract", str(DATA / "download_out"), str(target)])
+    assert target.is_dir() and args.out_dir == target
+
+    # Non-empty out dir: rejected (reference empty_directory semantics).
+    (target / "stale.json").write_text("{}")
+    with pytest.raises(SystemExit):
+        parser.parse_args(["extract", str(DATA / "download_out"), str(target)])
+
+
+def test_cli_json_root_must_exist(tmp_path):
+    from wpextract_spark.cli import build_parser
+
+    with pytest.raises(SystemExit):
+        build_parser().parse_args(["extract", str(tmp_path / "nope"), str(tmp_path / "o")])
+
+
+def test_cli_optional_args_default_none(tmp_path):
+    from wpextract_spark.cli import build_parser
+
+    args = build_parser().parse_args(
+        ["extract", str(DATA / "download_out"), str(tmp_path / "out")]
+    )
+    assert args.scrape_root is None
+    assert args.json_prefix is None
+    assert args.log is None and args.verbose is False

@@ -177,3 +177,53 @@ def test_main_content_udf(spark):
     assert rows[1]["t"] == "the actual story text of this page"
     assert rows[1]["e"] is None
     assert rows[2]["t"] is None and "ParseDepthError" in rows[2]["e"]
+
+
+def test_depth_bomb_quarantined_in_all_html_udfs(spark):
+    """A >MAX_TREE_DEPTH page must never fail a task: every HTML-parsing UDF
+    quarantines it (null / no-doc result), not just the content kernel."""
+    from wpextract_spark.operators.extract import (
+        html_text_udf,
+        self_url_udf,
+        translations_udf,
+    )
+
+    bomb = "<html><head>" + "<span>" * 3000 + "x"
+    good = (
+        '<html lang="en-US"><head><link rel="canonical" href="https://ex.org/a/"/>'
+        "</head><body><p>fine</p></body></html>"
+    )
+    pages = spark.createDataFrame([(1, good), (2, bomb)], "id long, html string")
+
+    tr = translations_udf()(F.col("html"), F.lit("https://ex.org/a/"))
+    rows = {
+        r["id"]: r
+        for r in pages.select(
+            "id",
+            self_url_udf()(F.col("html")).alias("self_url"),
+            html_text_udf()(F.col("html")).alias("txt"),
+            tr["language"].alias("lang"),
+            tr["translations"].alias("trans"),
+        ).collect()
+    }
+    assert rows[1]["self_url"] == "https://ex.org/a/"
+    assert rows[2]["self_url"] is None  # quarantined, task survived
+    assert rows[2]["txt"] is None
+    assert rows[2]["lang"] is None and rows[2]["trans"] == []
+
+
+def test_pdf_build_non_latin1(spark):
+    """Non-Latin-1 text (emoji, CJK) must not fail the build task: chars are
+    replaced with '?' (WinAnsi has no codepoint for them), roundtrip intact."""
+    from wpextract_spark.operators.extract import pdf_build_udf, pdf_text_udf
+
+    docs = spark.createDataFrame(
+        [(1, "héllo 🚀 wörld 漢"), (2, "plain ascii")], "doc_id long, text string"
+    )
+    pdf = pdf_build_udf()(F.col("text"), F.lit("p2"))
+    res = pdf_text_udf()(pdf)
+    rows = {r["doc_id"]: r for r in docs.select(
+        "doc_id", res["text"].alias("t"), res["error"].alias("e")).collect()}
+    assert rows[1]["t"] == "héllo ? wörld ?\np2"
+    assert rows[1]["e"] is None
+    assert rows[2]["t"] == "plain ascii\np2"

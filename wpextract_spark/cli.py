@@ -1,0 +1,136 @@
+"""Command-line interface — the reference's primary UX, Spark-backed.
+
+Mirrors the argument surface of the reference CLI (``cli/_cli.py:12-22``,
+``cli/_extract.py:16-53``, ``cli/_shared.py:28-75``): ``extract JSON_ROOT
+OUT_DIR -S/--scrape-root -P/--json-prefix -l/--log -v/--verbose`` with the
+same path validation (json_root/scrape_root must be existing directories;
+out_dir is created if missing and must be empty). Implemented with argparse —
+click is not available in this environment — plus Spark-specific options
+(``--master``, ``--tables``) that have no reference counterpart.
+
+Run as ``python -m wpextract_spark.cli`` or the ``wpextract-spark``
+console script (pyproject.toml).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+from pathlib import Path
+
+
+def _directory(value: str) -> Path:
+    path = Path(value)
+    if not path.is_dir():
+        raise argparse.ArgumentTypeError(
+            f"Directory {value!r} does not exist or is not a directory."
+        )
+    return path
+
+
+def _empty_directory(value: str) -> Path:
+    """Reference ``_shared.py:empty_directory``: create if missing, must be
+    an empty directory."""
+    path = Path(value)
+    if path.exists() and not path.is_dir():
+        raise argparse.ArgumentTypeError(f"{value!r} exists but is not a directory")
+    try:
+        path.mkdir(parents=True, exist_ok=True)
+    except OSError as e:
+        raise argparse.ArgumentTypeError("directory could not be created") from e
+    if any(path.iterdir()):
+        raise argparse.ArgumentTypeError(
+            f"{value!r} is not empty, must be an empty directory"
+        )
+    return path
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="wpextract-spark",
+        description="Create datasets from WordPress sites, on Spark.",
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    ex = sub.add_parser(
+        "extract",
+        help="Extract site to a dataset.",
+        description=(
+            "Converts the downloaded data files into a dataset. JSON_ROOT is a "
+            "directory containing a JSON dump of the data files. OUT_DIR is the "
+            "directory to output the extracted JSON to; it must be an existing "
+            "empty directory or a non-existent directory which will be created."
+        ),
+    )
+    ex.add_argument("json_root", type=_directory)
+    ex.add_argument("out_dir", type=_empty_directory, metavar="DIRECTORY")
+    ex.add_argument(
+        "-S", "--scrape-root", type=_directory, default=None,
+        help="Root directory of an HTML scrape",
+    )
+    ex.add_argument(
+        "-P", "--json-prefix", default=None,
+        help="Prefix to use for input and output filenames",
+    )
+    ex.add_argument(
+        "-l", "--log", type=Path, default=None,
+        help="File to log to, will suppress stdout.",
+    )
+    ex.add_argument(
+        "-v", "--verbose", action="store_true",
+        help="Increase log level to include debug logs",
+    )
+    ex.add_argument(
+        "--master", default=None,
+        help="Spark master (default: existing session or local[*])",
+    )
+    ex.add_argument(
+        "--tables", action="store_true",
+        help="Also export entities as parquet tables under OUT_DIR/tables",
+    )
+    ex.set_defaults(func=cmd_extract)
+    return parser
+
+
+def _setup_logging(verbose: bool, log_path: Path | None) -> None:
+    # No force=True: basicConfig must not close pre-existing handlers (e.g.
+    # a test harness's capture stream); in a fresh CLI process it configures.
+    level = logging.DEBUG if verbose else logging.INFO
+    if log_path is not None:
+        logging.basicConfig(filename=str(log_path), level=level)
+    else:
+        logging.basicConfig(stream=sys.stderr, level=level)
+    logging.getLogger().setLevel(level)
+
+
+def cmd_extract(args: argparse.Namespace) -> int:
+    _setup_logging(args.verbose, args.log)
+
+    from wpextract_spark.plans.pipeline import SparkSiteExtractor
+    from wpextract_spark.session import get_session
+
+    spark = get_session("wpextract-spark-cli", master=args.master)
+    extractor = SparkSiteExtractor(
+        spark,
+        json_root=args.json_root,
+        scrape_root=args.scrape_root,
+        json_prefix=args.json_prefix,
+    )
+    extractor.extract()
+    counts = extractor.export(args.out_dir)
+    if args.tables:
+        extractor.export_tables(args.out_dir / "tables")
+    print(json.dumps({"out_dir": str(args.out_dir), "counts": counts}))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -179,11 +179,19 @@ def simhash(
 
     Bit ``b`` of word ``w`` is the high bit of hex nibble ``b`` of
     ``md5(w)`` (i.e. nibble in [8..f]) — chosen so the identical expression
-    runs in SQL engines for oracle checks. Output: (id, simhash string).
+    runs in SQL engines for oracle checks. md5 has 32 nibbles, so signatures
+    wider than 32 bits draw nibbles 32.. from a second independent hash,
+    ``md5('#' || w)`` (same construction in the oracles). Output:
+    (id, simhash string).
     """
+    if bits > 64:
+        raise ValueError("bits > 64 not supported (two md5s give 64 nibbles)")
+    h = F.md5(F.col("w"))
+    if bits > 32:
+        h = F.concat(h, F.md5(F.concat(F.lit("#"), F.col("w"))))
     exploded = docs.select(
         F.col(id_col), F.explode(F.array_distinct(_words(text_col))).alias("w")
-    ).withColumn("h", F.md5(F.col("w")))
+    ).withColumn("h", h)
     votes = [
         F.sum(
             F.when(F.substring("h", b + 1, 1).isin(*"89abcdef"), 1).otherwise(-1)
@@ -201,9 +209,10 @@ def simhash_near_dup_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    bits: int = 16,
-    bands: int = 4,
+    bits: int = 64,
+    bands: int = 8,
     max_hamming: int = 3,
+    max_bucket: int | None = 100,
 ) -> DataFrame:
     """SimHash near-duplicate pairs: banded bucketing + exact Hamming verify.
 
@@ -212,6 +221,16 @@ def simhash_near_dup_pairs(
     chunk, so candidates come from equality joins on chunk values (no
     quadratic sweep), then the full Hamming distance filters to
     <= ``max_hamming``. Output: (id_a, id_b, hamming).
+
+    Scale shape: the chunk key space is ``bands * 2^(bits/bands)`` — at the
+    old 16/2 default that was 512 keys, i.e. bucket width O(N/512) and a
+    quadratic pair blowup at corpus scale. The 64/8 default gives 8 * 2^8 =
+    2048 structurally *selective* keys (random docs rarely agree on 8
+    signature bits), and ``max_bucket`` drops degenerate chunk buckets
+    (boilerplate/empty text collapses signatures) before the self-join,
+    exactly like :func:`lsh_candidate_pairs` — bounding the worst case at
+    ``keys * max_bucket^2 / 2`` pairs. Capped buckets lose only pairs the
+    remaining ``bands - 1`` chunks can still propose. Pass None to disable.
     """
     if bits % bands:
         raise ValueError("bits must be divisible by bands")
@@ -224,27 +243,25 @@ def simhash_near_dup_pairs(
     banded = sig.select(
         F.col(id_col), F.col("simhash"), F.explode(F.array(*chunk_cols)).alias("chunk")
     )
+    if max_bucket is not None:
+        bucket_n = F.count("*").over(Window.partitionBy("chunk"))
+        banded = banded.withColumn("_n", bucket_n).where(F.col("_n") <= max_bucket).drop("_n")
     left = banded.alias("l")
     right = banded.alias("r")
-    if bits <= 63:
-        # Hamming via popcount(xor) on the numeric signatures: three JVM ops
-        # per pair instead of `bits` chained substring comparisons (~10x on
-        # the candidate sweep, which dominates this operator — 16-bit
-        # signatures give few distinct band values, so buckets, and the
-        # candidate-pair count, are large).
-        def as_long(col: str):
-            return F.conv(F.col(col), 2, 10).cast("long")
+    # Hamming via popcount(xor) over 32-bit segments of the signature: a few
+    # JVM ops per pair instead of `bits` chained substring comparisons (~10x
+    # on the candidate sweep, which dominates this operator). Segmenting keeps
+    # the conv()->long exact for any width (a full 64-bit string would
+    # overflow long's sign bit).
+    n_seg = (bits + 31) // 32
 
-        hamming = F.bit_count(as_long("l.simhash").bitwiseXOR(as_long("r.simhash")))
-    else:  # popcount path needs the signature to fit a long
-        hamming = sum(
-            F.when(
-                F.substring(F.col("l.simhash"), b + 1, 1)
-                != F.substring(F.col("r.simhash"), b + 1, 1),
-                1,
-            ).otherwise(0)
-            for b in range(bits)
-        )
+    def _seg(col: str, s: int):
+        return F.conv(F.substring(F.col(col), s * 32 + 1, 32), 2, 10).cast("long")
+
+    hamming = sum(
+        F.bit_count(_seg("l.simhash", s).bitwiseXOR(_seg("r.simhash", s)))
+        for s in range(n_seg)
+    )
     return (
         left.join(right, F.col("l.chunk") == F.col("r.chunk"))
         .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))

@@ -242,8 +242,11 @@ def translations_udf(pickers: Optional[list[type[LangPicker]]] = None):
     def _translations(html: pd.Series, link: pd.Series) -> pd.DataFrame:
         rows = []
         for page_html, page_link in zip(html, link):
-            doc = parse_html(page_html) if page_html is not None else None
-            language, translations = extract_translations(doc, page_link or "", pickers)
+            try:
+                doc = parse_html(page_html) if page_html is not None else None
+                language, translations = extract_translations(doc, page_link or "", pickers)
+            except Exception:  # quarantine (e.g. ParseDepthError): no-doc path
+                language, translations = None, []
             rows.append({"language": language, "translations": translations})
         return pd.DataFrame(rows, columns=["language", "translations"])
 
@@ -261,7 +264,10 @@ def self_url_udf():
             if page_html is None:
                 out.append(None)
                 continue
-            out.append(extract_self_url(parse_html(page_html, head_only=True)))
+            try:
+                out.append(extract_self_url(parse_html(page_html, head_only=True)))
+            except Exception:  # quarantine (e.g. ParseDepthError)
+                out.append(None)
         return pd.Series(out, dtype="object")
 
     return _self_url
@@ -270,9 +276,17 @@ def self_url_udf():
 def html_text_udf():
     """HTML fragment -> text (title/excerpt/caption/description columns)."""
 
+    def _safe_text(value):
+        if value is None:
+            return None
+        try:
+            return extract_html_text(value)
+        except Exception:  # quarantine (e.g. ParseDepthError)
+            return None
+
     @F.pandas_udf(StringType())
     def _html_text(html: pd.Series) -> pd.Series:
-        return html.map(lambda value: extract_html_text(value) if value is not None else None)
+        return html.map(_safe_text)
 
     return _html_text
 

@@ -176,25 +176,47 @@ def ivf_topk(
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.9,
-    n_planes: int = 4,
+    n_planes: int = 8,
+    n_sets: int = 4,
+    max_bucket: int | None = 200,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via sign-LSH bucketing.
+    """Embedding-cosine near-duplicate pairs via multi-probe sign-LSH.
 
-    Vectors sharing all ``n_planes`` hyperplane signs land in one bucket;
-    pairs are formed only inside buckets (the self-join shuffles on the
-    bucket key, never cross-bucket) and verified exactly with cosine >=
-    threshold. Output: (id_a, id_b, cos_sim). Recall/cost knob: more planes
-    -> smaller buckets -> cheaper join, lower recall (standard sign-LSH
-    trade-off); at corpus scale run R independent plane sets and union.
+    ``n_sets`` independent plane sets of ``n_planes`` hyperplanes each: a
+    pair becomes a candidate when it agrees on ALL planes of at least one
+    set (the standard AND-OR LSH amplification). Candidates are formed only
+    inside buckets (the self-join shuffles on the bucket key, never
+    cross-bucket), verified exactly with cosine >= threshold, and deduped
+    across sets. Output: (id_a, id_b, cos_sim).
+
+    Scale shape: the old single-set n_planes=4 default meant 16 buckets
+    total — an O(N^2/16) self-join at corpus scale. 8 planes give 256
+    buckets per set (bucket width O(N/256)); unioning 4 sets restores the
+    recall the extra planes cost (p^8 per set -> 1-(1-p^8)^4 overall, ~90%
+    at cosine 0.95). ``max_bucket`` drops degenerate buckets (e.g. a mass of
+    near-zero or duplicate-template vectors collapsing to one key) before
+    the join, bounding the worst case at ``sets * 2^planes * max_bucket^2 /
+    2`` pairs; capped buckets lose only pairs another set can still propose.
+    Pass None to disable.
     """
     probe_dim = embeddings.select(F.size(vec_col)).first()[0]
-    planes = [hyperplane(p, probe_dim) for p in range(n_planes)]
     vec = F.col(vec_col).cast("array<double>")
+    bucket_cols = []
+    for s in range(n_sets):
+        planes = [hyperplane(s * n_planes + p, probe_dim) for p in range(n_planes)]
+        bucket_cols.append(F.concat(F.lit(f"{s}|"), _bucket(vec, planes)))
     bucketed = embeddings.select(
-        F.col(id_col), vec.alias("v"), _bucket(vec, planes).alias("bucket")
+        F.col(id_col), vec.alias("v"), F.explode(F.array(*bucket_cols)).alias("bucket")
     )
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        bucket_n = F.count("*").over(Window.partitionBy("bucket"))
+        bucketed = (
+            bucketed.withColumn("_n", bucket_n).where(F.col("_n") <= max_bucket).drop("_n")
+        )
     left = bucketed.alias("l")
     right = bucketed.alias("r")
     sim = F.round(cosine(F.col("l.v"), F.col("r.v")), 6)
@@ -206,5 +228,8 @@ def embedding_near_dup_pairs(
             F.col(f"r.{id_col}").alias("id_b"),
             sim.alias("cos_sim"),
         )
+        # Verify BEFORE the cross-set dedup so the distinct shuffle moves
+        # only surviving near-dup pairs, not every candidate.
         .where(F.col("cos_sim") >= threshold)
+        .distinct()
     )

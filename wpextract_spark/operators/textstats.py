@@ -3,8 +3,8 @@ language identification.
 
 Counts/ratios/fingerprints are built-in JVM expressions (whole-stage codegen,
 oracle-expressible). Language-ID is a stopword-profile heuristic in a pandas
-UDF (profiles ship with the closure) — no SQL-oracle equivalent, checked
-rows-only by the driver.
+UDF (profiles ship with the closure); the voting is relational, so its oracle
+restates the same profiles in SQL (plans/queries.py:_oracle_lang_id).
 """
 
 from __future__ import annotations

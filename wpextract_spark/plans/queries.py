@@ -563,21 +563,33 @@ ORDER BY cos_sim DESC, e.vec_id ASC LIMIT {k}
 
 
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs: sign-LSH bucket self-join + exact
-    cosine verify (threshold suits the random synthetic vectors)."""
+    """Embedding-cosine near-dup pairs: multi-probe sign-LSH (4 independent
+    8-plane sets unioned) + exact cosine verify + mega-bucket cap (threshold
+    suits the random synthetic vectors)."""
     emb = _t(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(emb, threshold=0.3, n_planes=4)
+    return embedding_near_dup_pairs(
+        emb, threshold=0.3, n_planes=8, n_sets=4, max_bucket=200
+    )
 
 
-def _oracle_emb_near_dups(dim: int = 64, n_planes: int = 4, threshold: float = 0.3) -> str:
-    plane_sql = []
-    for plane in [hyperplane(p, dim) for p in range(n_planes)]:
-        lit = "[" + ", ".join(f"{v!r}" for v in plane) + "]"
-        plane_sql.append(
-            f"(CASE WHEN list_sum([CAST(embedding[i+1] AS DOUBLE) * ({lit})[i+1] "
-            f"for i in range({dim})]) > 0 THEN '1' ELSE '0' END)"
-        )
-    bucket = " || ".join(plane_sql)
+def _oracle_emb_near_dups(
+    dim: int = 64,
+    n_planes: int = 8,
+    n_sets: int = 4,
+    max_bucket: int = 200,
+    threshold: float = 0.3,
+) -> str:
+    set_sql = []
+    for s in range(n_sets):
+        plane_sql = []
+        for plane in [hyperplane(s * n_planes + p, dim) for p in range(n_planes)]:
+            lit = "[" + ", ".join(f"{v!r}" for v in plane) + "]"
+            plane_sql.append(
+                f"(CASE WHEN list_sum([CAST(embedding[i+1] AS DOUBLE) * ({lit})[i+1] "
+                f"for i in range({dim})]) > 0 THEN '1' ELSE '0' END)"
+            )
+        set_sql.append(f"'{s}|' || " + " || ".join(plane_sql))
+    buckets = ", ".join(set_sql)
     dot = (
         f"list_sum([CAST(l.embedding[i+1] AS DOUBLE) * CAST(r.embedding[i+1] AS DOUBLE) "
         f"for i in range({dim})])"
@@ -585,23 +597,34 @@ def _oracle_emb_near_dups(dim: int = 64, n_planes: int = 4, threshold: float = 0
     norm = "sqrt(list_sum([CAST(x AS DOUBLE) * x for x in {s}.embedding]))"
     cos = f"round({dot} / ({norm.format(s='l')} * {norm.format(s='r')}), 6)"
     return f"""
-WITH b AS (SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings)
-SELECT l.vec_id AS id_a, r.vec_id AS id_b, {cos} AS cos_sim
-FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+WITH b AS (
+  SELECT vec_id, embedding, unnest([{buckets}]) AS bucket FROM embeddings),
+capped AS (
+  SELECT * FROM b QUALIFY count(*) OVER (PARTITION BY bucket) <= {max_bucket})
+SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b, {cos} AS cos_sim
+FROM capped l JOIN capped r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
 WHERE {cos} >= {threshold}
 """
 
 
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: banded chunk join + exact Hamming verify."""
+    """SimHash near-dup pairs: 64-bit signatures, 8-band chunk join with a
+    mega-bucket cap, exact Hamming verify via segmented popcount."""
     docs = _t(spark, sf_dir, "documents")
-    return simhash_near_dup_pairs(docs, bits=16, bands=2, max_hamming=2)
+    return simhash_near_dup_pairs(
+        docs, bits=64, bands=8, max_hamming=3, max_bucket=100
+    )
 
 
-def _oracle_simhash_near_dups(bits: int = 16, bands: int = 2, max_hamming: int = 2) -> str:
+def _oracle_simhash_near_dups(
+    bits: int = 64, bands: int = 8, max_hamming: int = 3, max_bucket: int = 100
+) -> str:
     width = bits // bands
+    # Nibbles 32.. come from the second independent hash md5('#' || w),
+    # mirroring operators/dedup.py simhash().
+    h = "md5(w) || md5('#' || w)" if bits > 32 else "md5(w)"
     votes = ", ".join(
-        f"sum(CASE WHEN substr(md5(w), {b + 1}, 1) IN ('8','9','a','b','c','d','e','f') "
+        f"sum(CASE WHEN substr(h, {b + 1}, 1) IN ('8','9','a','b','c','d','e','f') "
         f"THEN 1 ELSE -1 END) AS v_{b}"
         for b in range(bits)
     )
@@ -615,15 +638,18 @@ def _oracle_simhash_near_dups(bits: int = 16, bands: int = 2, max_hamming: int =
     )
     return rf"""
 WITH w AS (
-  SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '{WS_SQL}'))) AS w
-  FROM documents),
+  SELECT doc_id, {h} AS h FROM (
+    SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '{WS_SQL}'))) AS w
+    FROM documents)),
 v AS (SELECT doc_id, {votes} FROM w GROUP BY doc_id),
 s AS (SELECT doc_id, {concat} AS simhash FROM v),
 chunks AS (SELECT doc_id, simhash, unnest([{chunks}]) AS chunk FROM s),
+capped AS (
+  SELECT * FROM chunks QUALIFY count(*) OVER (PARTITION BY chunk) <= {max_bucket}),
 pairs AS (
   SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
                   l.simhash AS sa, r.simhash AS sb
-  FROM chunks l JOIN chunks r ON l.chunk = r.chunk AND l.doc_id < r.doc_id)
+  FROM capped l JOIN capped r ON l.chunk = r.chunk AND l.doc_id < r.doc_id)
 SELECT id_a, id_b, hamming FROM (
   SELECT id_a, id_b, {hamming} AS hamming FROM pairs)
 WHERE hamming <= {max_hamming}
@@ -667,7 +693,7 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_SALTED_JOIN = """
 SELECT o_orderpriority, count(*) AS n_items,
-       sum(CAST(l_quantity AS BIGINT)) AS total_qty
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 """
@@ -680,6 +706,9 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    # Exact decimal arithmetic for the sum (order-independent), but the final
+    # value is cast to double on BOTH sides so no engine-specific numeric type
+    # (Decimal vs hugeint rendering) reaches the driver's value hasher.
     revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")
     return (
         lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -687,7 +716,7 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(revenue), 2).alias("revenue"),
+            F.round(F.sum(revenue), 2).cast("double").alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )
@@ -695,7 +724,7 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_REVENUE_BY_NATION = """
 SELECT n_name,
-       round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS revenue,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
        count(*) AS n_items
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -763,8 +792,44 @@ FROM w
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # NO_ORACLE: stopword-profile voting is a Python kernel.
+    """Stopword-profile language ID (pandas UDF); the voting is relational,
+    so the oracle restates it in SQL from the same profile dict."""
     return lang_id(_t(spark, sf_dir, "documents"))
+
+
+def _oracle_lang_id() -> str:
+    from wpextract_spark.operators.textstats import _LANG_PROFILES
+
+    score_cols = []
+    structs = []
+    for code in sorted(_LANG_PROFILES):
+        words = ", ".join(f"'{w}'" for w in sorted(_LANG_PROFILES[code]))
+        score_cols.append(
+            f"len(list_filter(toks, t -> list_contains([{words}], t))) AS s_{code}"
+        )
+        structs.append(f"{{'s': s_{code}, 'l': '{code}'}}")
+    scores = ",\n         ".join(score_cols)
+    struct_list = ", ".join(structs)
+    greatest = ", ".join(f"s_{c}" for c in sorted(_LANG_PROFILES))
+    # max by (score, lang) — struct comparison is field-order lexicographic,
+    # matching the Python kernel's max(scores, key=lambda l: (scores[l], l)).
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL OR trim(text) = '' THEN NULL
+              ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+  FROM documents),
+s AS (
+  SELECT doc_id, toks,
+         {scores}
+  FROM t)
+SELECT doc_id,
+       CASE WHEN toks IS NULL THEN NULL
+            WHEN greatest({greatest}) = 0 THEN 'und'
+            ELSE list_max([{struct_list}]).l
+       END AS lang_guess
+FROM s
+"""
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -857,9 +922,10 @@ def q_pdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_PDF_ROUNDTRIP = """
+ORACLE_PDF_ROUNDTRIP = r"""
 SELECT doc_id,
-       text || chr(10) || 'doc ' || CAST(doc_id AS VARCHAR)
+       regexp_replace(text, '[^\x00-\x{ff}]', '?', 'g')
+            || chr(10) || 'doc ' || CAST(doc_id AS VARCHAR)
             || chr(10) || 'second line' AS pdf_text,
        CAST(2 AS BIGINT) AS n_pages,
        false AS quarantined
@@ -869,8 +935,10 @@ FROM documents
 
 def q_pages_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: full fused extraction over the deterministic synthetic pages
-    table (NO_ORACLE: the page builder is Python; invariants are pinned by
-    unit tests instead)."""
+    table. The oracle is the page builder's own statement of intent: synth
+    pages embed known text/spans by construction (sources/synth.py emits
+    expected_* fields without running the kernel), inlined as a VALUES table.
+    Text is compared via md5 so the oracle SQL stays compact."""
     from wpextract_spark.sources.synth import generate_pages
 
     pages = generate_pages(spark, n_pages=300, seed=42)
@@ -878,12 +946,39 @@ def q_pages_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pages.select(
         "url",
         "lang",
-        res["text"].alias("text"),
+        F.md5(res["text"]).alias("text_md5"),
         F.size(res["links_internal"]).alias("n_internal"),
         F.size(res["links_external"]).alias("n_external"),
         F.size(res["images"]).alias("n_images"),
         F.size(res["embeds"]).alias("n_embeds"),
     )
+
+
+def _oracle_pages_extract(n_pages: int = 300, seed: int = 42) -> str:
+    import hashlib as _hashlib
+
+    from wpextract_spark.sources.synth import synth_page
+
+    rows = []
+    for doc_id in range(n_pages):
+        p = synth_page(doc_id, seed)
+        text_md5 = _hashlib.md5(p["expected_text"].encode("utf-8")).hexdigest()
+        rows.append(
+            f"('{p['url']}', '{p['lang']}', '{text_md5}', "
+            f"{p['expected_n_internal']}, {p['expected_n_external']}, "
+            f"{p['expected_n_images']}, {p['expected_n_embeds']})"
+        )
+    values = ",\n".join(rows)
+    return f"""
+SELECT url, lang, text_md5,
+       CAST(n_internal AS INTEGER) AS n_internal,
+       CAST(n_external AS INTEGER) AS n_external,
+       CAST(n_images AS INTEGER) AS n_images,
+       CAST(n_embeds AS INTEGER) AS n_embeds
+FROM (VALUES
+{values}
+) AS t(url, lang, text_md5, n_internal, n_external, n_images, n_embeds)
+"""
 
 
 QUERIES = {
@@ -950,9 +1045,10 @@ ORACLES = {
     "q_token_stats": ORACLE_TOKEN_STATS,
     "q_quality_scores": _oracle_quality(),
     "q_fingerprints": ORACLE_FINGERPRINTS,
+    "q_lang_id": _oracle_lang_id(),
     "q_multimodal_features": ORACLE_MULTIMODAL,
     "q_frame_sample": ORACLE_FRAME_SAMPLE,
     "q_pdf_roundtrip": ORACLE_PDF_ROUNDTRIP,
     "q_main_content": ORACLE_MAIN_CONTENT,
-    # q_lang_id, q_pages_extract: NO_ORACLE (Python kernel semantics).
+    "q_pages_extract": _oracle_pages_extract(),
 }

@@ -25,7 +25,10 @@ def _content_stream(page_text: str) -> bytes:
             ops.append("0 -14 Td")
         ops.append(f"({_escape(line)}) Tj")
     ops.append("ET")
-    return "\n".join(ops).encode("latin-1")
+    # Non-Latin-1 characters (emoji, CJK, curly quotes) cannot exist in a
+    # WinAnsi-encoded content stream: replace with '?' rather than failing the
+    # whole Spark task on one document. Mirrored in ORACLE_PDF_ROUNDTRIP.
+    return "\n".join(ops).encode("latin-1", errors="replace")
 
 
 def build_pdf(pages: list[str], compress: bool = True) -> bytes:

@@ -105,12 +105,40 @@ def synth_page(doc_id: int, seed: int = 42, n_domains: int = 1000) -> dict:
         "<footer>share widgets | comment form</footer></body></html>"
     )
     warc_ts = datetime(2024, 1, 1) + timedelta(seconds=doc_id % 31536000)
+
+    # Expected extraction outputs, stated BY CONSTRUCTION (not by running the
+    # kernel): the page intentionally embeds these texts/spans, so the kernel
+    # must recover them. Elements the extractor removes (figure, table,
+    # comment, iframe) contribute no text; their source-newline separators
+    # collapse under whitespace squashing. This is the q_pages_extract oracle.
+    from wpextract_spark.functions.text import squash_whitespace
+
+    picker_text = "curtit" if picker else ""
+    para_texts = [p[3:-4] for p in paragraphs]  # strip <p>/</p>
+    span_texts = [
+        f"next {_words(seed, doc_id, 'a1', 2)}",
+        "category form",
+        "preview",
+        "external",
+    ]
+    half = len(paragraphs) // 2
+    body_texts = [picker_text, *para_texts[:half], "", "", "",
+                  *span_texts, "", *para_texts[half:]]
+    expected_text = squash_whitespace(
+        f"Post {doc_id}" + "home | about" + "\n".join(body_texts)
+        + "share widgets | comment form"
+    )
     return {
         "url": url,
         "warc_ts": warc_ts,
         "html": html.encode("utf-8"),
         "text": _words(seed, doc_id, "crawltext", 12),
         "lang": lang,
+        "expected_text": expected_text,
+        "expected_n_internal": 3 + (3 if picker else 0),
+        "expected_n_external": 1,
+        "expected_n_images": 1,
+        "expected_n_embeds": 1 if iframe else 0,
     }
 
 
