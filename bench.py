@@ -77,24 +77,49 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += dt
 
-    # Flagship extraction throughput: fused kernel over synthetic pages.
-    pages = generate_pages(spark, n_pages=N_BENCH_PAGES, seed=42)
-    pages = pages.repartition(spark.sparkContext.defaultParallelism, F.xxhash64("url"))
-    pages.persist()
-    n = pages.count()  # materialize input so the timing isolates extraction
-    res = content_extract_udf()(F.col("html"), F.col("url"))
-    extracted = pages.select(
-        "url",
-        res["text"].alias("text"),
-        F.size(res["links_internal"]).alias("n_int"),
-        F.size(res["images"]).alias("n_img"),
-    )
-    t0 = time.perf_counter()
-    _force(extracted)
-    dt_extract = time.perf_counter() - t0
+    # Flagship extraction throughput — SAME protocol as scripts/
+    # scaling_worker.py so this headline and BENCH/BASELINE.md agree within
+    # noise: pages pre-written to a 256-file parquet, scan tasks packed to
+    # ~8 waves per slot, scan -> fused UDF -> noop sink (no shuffle), one
+    # warm-up pass, best of 3 timed trials.
+    import tempfile
+
+    cores = spark.sparkContext.defaultParallelism
+    with tempfile.TemporaryDirectory(prefix="bench_pages_") as tmp:
+        input_path = f"{tmp}/pages.parquet"
+        generate_pages(spark, n_pages=N_BENCH_PAGES, seed=42, partitions=256).write.parquet(
+            input_path
+        )
+        total_bytes = sum(
+            f.stat().st_size for f in Path(input_path).glob("*.parquet")
+        )
+        max_part = max(1_000_000, total_bytes // (cores * 8))
+        prev_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        prev_ocb = spark.conf.get("spark.sql.files.openCostInBytes")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(max_part))
+        spark.conf.set("spark.sql.files.openCostInBytes", "0")
+        try:
+            pages = spark.read.parquet(input_path)
+            n = pages.count()
+            res = content_extract_udf()(F.col("html"), F.col("url"))
+            extracted = pages.select(
+                "url",
+                res["text"].alias("text"),
+                F.size(res["links_internal"]).alias("n_int"),
+                F.size(res["images"]).alias("n_img"),
+            )
+            _force(extracted)  # warm-up: workers, plan, page cache
+            walls = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                _force(extracted)
+                walls.append(time.perf_counter() - t0)
+            dt_extract = min(walls)
+        finally:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
+            spark.conf.set("spark.sql.files.openCostInBytes", prev_ocb)
     timings["extract_throughput"] = round(dt_extract, 3)
     total += dt_extract
-    pages.unpersist()
 
     result = {
         "metric": "wpextract_spark headline suite wall time",

@@ -117,3 +117,35 @@ def test_incremental_update_last_wins():
     )
     text, n = extract_pdf_text(base + update)
     assert (text, n) == ("new", 1)
+
+
+def test_stream_interior_cannot_shadow_objects():
+    """Bytes inside a content stream that look like a later `N 0 obj`
+    definition must not shadow the real object (the scanner resumes past
+    `endstream`, never inside stream interiors)."""
+    from wpextract_spark.kernel.pdf import extract_pdf_text
+
+    real_ops = b"BT /F1 11 Tf 72 720 Td (REAL) Tj ET"
+    # Decoy later-definition of the content object itself: under
+    # later-definition-wins, a scanner that walks stream interiors would
+    # replace object 5 with this string and lose the page text. (A pushed
+    # string without Tj draws nothing, so the decoy bytes themselves are
+    # inert for the content interpreter.)
+    fake_def = b"\n5 0 obj\n(FAKE)\nendobj\n"
+    interior = real_ops + fake_def  # stream content containing a decoy object
+    objects = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+        b" /Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>",
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(interior), interior),
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    for num, body in enumerate(objects, start=1):
+        out += b"%d 0 obj\n" % num + body + b"\nendobj\n"
+    out += b"trailer\n<< /Size 6 /Root 1 0 R >>\n%%EOF\n"
+
+    text, n_pages = extract_pdf_text(bytes(out))
+    assert n_pages == 1
+    assert text == "REAL"

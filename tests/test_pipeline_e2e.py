@@ -74,3 +74,13 @@ def test_export_tables_parquet(extracted, spark, tmp_path):
     assert counts == EXPECTED_DATA_LEN
     posts = spark.read.parquet(str(tmp_path / "tables" / "posts"))
     assert "translations" in posts.columns
+
+
+@pytest.mark.parametrize("datatype", sorted(EXPECTED_DATA_LEN))
+def test_entity_byte_equality(extracted, datatype):
+    """Raw file bytes match the reference goldens exactly — pins key order,
+    indent, and encoder behavior beyond the parsed-JSON comparison."""
+    out_dir, _ = extracted
+    ours = (out_dir / f"{datatype}.json").read_bytes()
+    golden = (DATA / "extract_out" / f"{datatype}.json").read_bytes()
+    assert ours == golden

@@ -204,10 +204,17 @@ def _scan_objects(data: bytes) -> dict[int, tuple[Any, Optional[bytes]]]:
 
     Scan-based (no xref): tolerant of incremental updates and broken
     offsets; later definitions of the same object number win, matching
-    incremental-update semantics.
+    incremental-update semantics. After an object with a stream, scanning
+    resumes past its ``endstream`` — compressed stream interiors can contain
+    bytes that look like ``N G obj`` and must never shadow a real object.
     """
     objects: dict[int, tuple[Any, Optional[bytes]]] = {}
-    for m in _OBJ_RE.finditer(data):
+    scan_pos = 0
+    while True:
+        m = _OBJ_RE.search(data, scan_pos)
+        if m is None:
+            break
+        scan_pos = m.end()
         num = int(m.group(1))
         try:
             value, pos = parse_value(data, m.end())
@@ -231,6 +238,10 @@ def _scan_objects(data: bytes) -> dict[int, tuple[Any, Optional[bytes]]]:
             if end < 0:
                 raise PdfParseError("unterminated stream")
             stream = data[start:end]
+            keyword = data.find(b"endstream", end)
+            scan_pos = keyword + len(b"endstream") if keyword >= 0 else end
+        else:
+            scan_pos = pos
         objects[num] = (value, stream)
     return objects
 

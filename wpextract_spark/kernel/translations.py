@@ -88,16 +88,20 @@ class LangPicker(ABC):
 class PolylangWidget(LangPicker):
     """The Polylang plugin's widget-style picker (``.widget_polylang``).
 
-    Current language from ``.lang-item.current-lang a[lang]``; translations
-    from ``.lang-item`` entries that are neither ``.no-translation`` (links to
-    a language homepage, not a translation) nor ``.current-lang``.
+    Current language from the first ``.lang-item.current-lang a`` — exactly
+    the reference selector (``_pickers.py:210``): if that anchor lacks a
+    ``lang`` attribute this raises KeyError, where the reference also fails;
+    the UDF-level quarantine (operators/extract.py) turns that into a no-doc
+    result instead of a task failure. Translations from ``.lang-item``
+    entries that are neither ``.no-translation`` (links to a language
+    homepage, not a translation) nor ``.current-lang``.
     """
 
     def get_root(self) -> Optional[Tag]:
         return self.page_doc.select_one(".widget_polylang")
 
     def extract(self) -> None:
-        current = self._root_select_one(".lang-item.current-lang a[lang]")
+        current = self._root_select_one(".lang-item.current-lang a")
         self.set_current_lang(attr_concat(current["lang"]))
         for a in self.root_el.select(".lang-item:not(.no-translation):not(.current-lang) a"):
             self.add_translation(attr_concat(a["href"]), attr_concat(a["lang"]))

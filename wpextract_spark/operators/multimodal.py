@@ -77,6 +77,38 @@ def extract_media_features(
     return media.mapInPandas(_extract, FEATURES_SCHEMA)
 
 
+def image_metadata(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Real (no-codec) image metadata: sniff mime/width/height from header
+    bytes for PNG/GIF/JPEG payloads.
+
+    Output: (media_id, kind, mime, width, height); non-image or corrupt
+    payloads yield nulls (quarantine contract, the sniffer never raises).
+    Only header bytes are read — at crawl scale pair with a payload-prefix
+    projection so metadata queries never materialize full blobs.
+    """
+    from wpextract_spark.kernel.imagemeta import sniff_image
+
+    def _sniff(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            metas = [
+                sniff_image(bytes(b)) if b is not None else None
+                for b in batch[payload_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": batch["media_id"],
+                    "kind": batch["kind"],
+                    "mime": [m[0] if m else None for m in metas],
+                    "width": pd.array([m[1] if m else None for m in metas], dtype="Int32"),
+                    "height": pd.array([m[2] if m else None for m in metas], dtype="Int32"),
+                }
+            )
+
+    return media.mapInPandas(
+        _sniff, "media_id long, kind string, mime string, width int, height int"
+    )
+
+
 def frame_sample_stub(
     media: DataFrame, every_s: float = 1.0, payload_col: str = "payload"
 ) -> DataFrame:
@@ -84,28 +116,47 @@ def frame_sample_stub(
 
     The "frames" are deterministic byte slices (real ffmpeg absent); the
     row-explosion shape — the part that matters for partition sizing — is
-    real.
+    real. Expansion is vectorized pandas (repeat + cumcount), no per-row
+    iteration over the batch.
     """
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
-            rows = []
-            for _, row in batch.iterrows():
-                payload = row[payload_col]
-                duration = row["meta"]["duration_s"] or 0.0
-                n_frames = max(int(duration / every_s), 1) if payload is not None else 0
-                for frame_i in range(n_frames):
-                    offset = (frame_i * 16) % max(len(payload), 1)
-                    rows.append(
-                        {
-                            "media_id": row["media_id"],
-                            "frame_idx": frame_i,
-                            "frame_bytes": bytes(payload[offset : offset + 16]),
-                        }
-                    )
-            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame_bytes"])
+            payloads = batch[payload_col]
+            duration = batch["meta"].map(lambda m: (m["duration_s"] if m else 0.0) or 0.0)
+            n_frames = (duration / every_s).astype(int).clip(lower=1)
+            n_frames = n_frames.where(payloads.notna(), 0)
+
+            idx = batch.index.repeat(n_frames)
+            grp = pd.Series(idx)
+            frame_idx = grp.groupby(grp, sort=False).cumcount().to_numpy()
+            payload_rep = payloads.loc[idx].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "media_id": batch.loc[idx, "media_id"].to_numpy(),
+                    "frame_idx": frame_idx.astype("int32"),
+                    "frame_bytes": [
+                        bytes(p[(i * 16) % max(len(p), 1) : (i * 16) % max(len(p), 1) + 16])
+                        for p, i in zip(payload_rep, frame_idx)
+                    ],
+                }
+            )
 
     return media.mapInPandas(_sample, "media_id long, frame_idx int, frame_bytes binary")
+
+
+def image_build_udf():
+    """doc_id -> deterministic PNG/GIF/JPEG payload (sources/imagegen.py).
+
+    Test/bench-side inverse of :func:`image_metadata` — synthesizes the
+    binary image column (sandbox rule: no external data)."""
+    from wpextract_spark.sources.imagegen import build_image
+
+    @F.pandas_udf("binary")
+    def _build(ids: pd.Series) -> pd.Series:
+        return pd.Series([build_image(int(i))[3] for i in ids], dtype="object")
+
+    return _build
 
 
 def documents_as_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

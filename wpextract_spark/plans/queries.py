@@ -862,10 +862,18 @@ def q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DOM-heuristics leg: locate the article body on a generic (non-WP)
     page drowned in boilerplate — nav menu, link-farm sidebar with its own
     <p> soup, footer — and extract exactly the main text. The oracle states
-    the invariant: heuristic output == the embedded document text."""
+    the invariant: heuristic output == the embedded document text (squashed).
+    Text is HTML-escaped into the page so '&'/'<'/'>' in a corpus can't
+    break the embedding; the parser unescapes, the kernel squashes, and the
+    oracle applies the same squash in SQL."""
     from wpextract_spark.operators.extract import main_content_udf
 
     docs = _t(spark, sf_dir, "documents")
+    escaped = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(F.col("text"), "&", "&amp;"), "<", "&lt;"),
+        ">",
+        "&gt;",
+    )
     nav = F.lit(
         "<nav><ul>"
         + "".join(f'<li><a href="/m{i}">menu item {i}</a></li>' for i in range(12))
@@ -880,7 +888,7 @@ def q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("<html><body><header><h1>Site Title</h1></header>"),
         nav,
         F.lit('<div id="page"><main><article><p>'),
-        F.col("text"),
+        escaped,
         F.lit("</p></article></main></div>"),
         sidebar,
         F.lit("<footer><p>copyright boilerplate links "),
@@ -895,8 +903,15 @@ def q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_MAIN_CONTENT = """
-SELECT doc_id, text AS main_text, false AS quarantined FROM documents
+# squash_whitespace (functions/text.py:32) restated in SQL: collapse \n runs,
+# strip line-leading whitespace, trim ends.
+ORACLE_MAIN_CONTENT = r"""
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(text, '\n{2,}', chr(10), 'g'),
+                           '(?m)^\s+', '', 'g'),
+            ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)) AS main_text,
+       false AS quarantined
+FROM documents
 """
 
 
@@ -929,6 +944,33 @@ SELECT doc_id,
             || chr(10) || 'second line' AS pdf_text,
        CAST(2 AS BIGINT) AS n_pages,
        false AS quarantined
+FROM documents
+"""
+
+
+def q_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real image-metadata decode: synthesize a deterministic PNG/GIF/JPEG
+    payload per document, then sniff mime/width/height from header bytes
+    (kernel/imagemeta.py — no codec library). The oracle restates the
+    generator's dimension arithmetic; the Spark path actually builds the
+    bytes and parses them back."""
+    from wpextract_spark.operators.multimodal import image_build_udf, image_metadata
+
+    kinds = F.array(F.lit("png"), F.lit("gif"), F.lit("jpeg"))
+    media = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(kinds, (F.col("doc_id") % 3 + 1).cast("int")).alias("kind"),
+        image_build_udf()(F.col("doc_id")).alias("payload"),
+    )
+    return image_metadata(media)
+
+
+ORACLE_IMAGE_META = """
+SELECT doc_id AS media_id,
+       ['png','gif','jpeg'][(doc_id % 3) + 1] AS kind,
+       'image/' || ['png','gif','jpeg'][(doc_id % 3) + 1] AS mime,
+       CAST(16 + doc_id % 100 AS INTEGER) AS width,
+       CAST(16 + (doc_id * 7) % 100 AS INTEGER) AS height
 FROM documents
 """
 
@@ -1011,6 +1053,7 @@ QUERIES = {
     "q_fingerprints": q_fingerprints,
     "q_lang_id": q_lang_id,
     "q_multimodal_features": q_multimodal_features,
+    "q_image_meta": q_image_meta,
     "q_frame_sample": q_frame_sample,
     "q_pages_extract": q_pages_extract,
     "q_pdf_roundtrip": q_pdf_roundtrip,
@@ -1047,6 +1090,7 @@ ORACLES = {
     "q_fingerprints": ORACLE_FINGERPRINTS,
     "q_lang_id": _oracle_lang_id(),
     "q_multimodal_features": ORACLE_MULTIMODAL,
+    "q_image_meta": ORACLE_IMAGE_META,
     "q_frame_sample": ORACLE_FRAME_SAMPLE,
     "q_pdf_roundtrip": ORACLE_PDF_ROUNDTRIP,
     "q_main_content": ORACLE_MAIN_CONTENT,

@@ -1,0 +1,76 @@
+"""Deterministic generators of minimal image payloads.
+
+Synthesizes crawl-style binary image columns for tests/benchmarks (sandbox
+rule: no external data). PNG and GIF outputs are complete, spec-valid files
+(real decoders would open them); JPEG output is marker-valid through SOF0 +
+EOI — sufficient for any header-level metadata reader — with a stub entropy
+stream (a full baseline-DCT encoder would add nothing to what the engine
+exercises). The inverse of ``kernel/imagemeta.py``.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+
+def _png_chunk(kind: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + kind
+        + body
+        + struct.pack(">I", zlib.crc32(kind + body) & 0xFFFFFFFF)
+    )
+
+
+def build_png(width: int, height: int, gray: int = 0x7F) -> bytes:
+    """Complete valid grayscale PNG of the given dimensions."""
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    row = b"\x00" + bytes([gray & 0xFF]) * width  # filter 0 + pixels
+    idat = zlib.compress(row * height, 6)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def build_gif(width: int, height: int) -> bytes:
+    """Complete valid 2-color GIF89a of the given dimensions."""
+    header = b"GIF89a" + struct.pack("<HH", width, height) + b"\x80\x00\x00"
+    palette = b"\x00\x00\x00\xff\xff\xff"
+    descriptor = b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+    # Minimal LZW stream: code size 2, one clear code + EOI code.
+    image_data = b"\x02\x02\x44\x01\x00"
+    return header + palette + descriptor + image_data + b"\x3b"
+
+
+def build_jpeg(width: int, height: int) -> bytes:
+    """Marker-valid JPEG (SOI, JFIF APP0, SOF0 with dimensions, SOS, EOI)."""
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + struct.pack(
+        ">HHBB", 72, 72, 0, 0
+    )
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 11)
+        + b"\x08"
+        + struct.pack(">HH", height, width)
+        + b"\x01\x01\x11\x00"
+    )
+    sos = b"\xff\xda" + struct.pack(">H", 8) + b"\x01\x01\x00\x00\x3f\x00"
+    return b"\xff\xd8" + app0 + sof0 + sos + b"\xff\xd9"
+
+
+def build_image(doc_id: int) -> tuple[str, int, int, bytes]:
+    """Deterministic (kind, width, height, payload) for a document id.
+
+    Dimensions are pure arithmetic in ``doc_id`` so a SQL oracle can restate
+    them: width = 16 + id % 100, height = 16 + (id * 7) % 100; the format
+    rotates png/gif/jpeg by id % 3.
+    """
+    width = 16 + doc_id % 100
+    height = 16 + (doc_id * 7) % 100
+    kind = ("png", "gif", "jpeg")[doc_id % 3]
+    builder = {"png": build_png, "gif": build_gif, "jpeg": build_jpeg}[kind]
+    return kind, width, height, builder(width, height)
