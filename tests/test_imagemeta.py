@@ -103,3 +103,38 @@ def test_image_metadata_operator(spark):
     assert rows[2]["mime"] == "image/jpeg"
     assert rows[4]["height"] == 16 + 28
     assert rows[99]["mime"] is None and rows[99]["width"] is None
+
+
+def test_wav_roundtrip():
+    from wpextract_spark.kernel.audiometa import sniff_wav
+    from wpextract_spark.sources.audiogen import build_audio, build_wav
+
+    assert sniff_wav(build_wav(8000, 16000)) == ("audio/wav", 16000, 1, 8000, 0.5)
+    for i in (0, 3, 123):
+        rate, n, payload = build_audio(i)
+        mime, sr, ch, ns, dur = sniff_wav(payload)
+        assert (sr, ch, ns) == (rate, 1, n)
+        assert dur == n / rate
+
+
+def test_wav_sniff_never_raises():
+    from wpextract_spark.kernel.audiometa import sniff_wav
+
+    cases = [None, b"", b"RIFF", b"RIFF\x00\x00\x00\x00WAVE",
+             b"RIFF\x10\x00\x00\x00WAVEfmt ", b"<html>no</html>",
+             b"RIFF\xff\xff\xff\xffWAVEdata\xff\xff\xff\xff"]
+    for payload in cases:
+        assert sniff_wav(payload) is None
+
+
+def test_wav_sniff_skips_extra_chunks():
+    """fmt/data found after a LIST metadata chunk (word-aligned walk)."""
+    import struct
+
+    from wpextract_spark.kernel.audiometa import sniff_wav
+    from wpextract_spark.sources.audiogen import build_wav
+
+    wav = build_wav(100, 8000)
+    info = b"LIST" + struct.pack("<I", 5) + b"INFOx\x00"  # odd size, padded
+    patched = wav[:12] + info + wav[12:]
+    assert sniff_wav(patched) == ("audio/wav", 8000, 1, 100, 100 / 8000)

@@ -145,6 +145,60 @@ def frame_sample_stub(
     return media.mapInPandas(_sample, "media_id long, frame_idx int, frame_bytes binary")
 
 
+def audio_metadata(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Real (no-codec) audio metadata: sniff sample rate / channels / sample
+    count / duration from PCM WAV RIFF headers.
+
+    Output: (media_id, kind, mime, sample_rate, n_channels, n_samples,
+    duration_s); non-WAV or corrupt payloads yield nulls (quarantine
+    contract, the sniffer never raises).
+    """
+    from wpextract_spark.kernel.audiometa import sniff_wav
+
+    def _sniff(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            metas = [
+                sniff_wav(bytes(b)) if b is not None else None
+                for b in batch[payload_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": batch["media_id"],
+                    "kind": batch["kind"],
+                    "mime": [m[0] if m else None for m in metas],
+                    "sample_rate": pd.array(
+                        [m[1] if m else None for m in metas], dtype="Int32"
+                    ),
+                    "n_channels": pd.array(
+                        [m[2] if m else None for m in metas], dtype="Int32"
+                    ),
+                    "n_samples": pd.array(
+                        [m[3] if m else None for m in metas], dtype="Int64"
+                    ),
+                    "duration_s": pd.array(
+                        [m[4] if m else None for m in metas], dtype="Float64"
+                    ),
+                }
+            )
+
+    return media.mapInPandas(
+        _sniff,
+        "media_id long, kind string, mime string, sample_rate int, "
+        "n_channels int, n_samples long, duration_s double",
+    )
+
+
+def audio_build_udf():
+    """doc_id -> deterministic PCM WAV payload (sources/audiogen.py)."""
+    from wpextract_spark.sources.audiogen import build_audio
+
+    @F.pandas_udf("binary")
+    def _build(ids: pd.Series) -> pd.Series:
+        return pd.Series([build_audio(int(i))[2] for i in ids], dtype="object")
+
+    return _build
+
+
 def image_build_udf():
     """doc_id -> deterministic PNG/GIF/JPEG payload (sources/imagegen.py).
 

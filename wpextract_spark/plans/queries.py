@@ -975,6 +975,32 @@ FROM documents
 """
 
 
+def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real audio-metadata decode: synthesize a deterministic PCM WAV per
+    document, sniff sample rate / channels / samples / duration from the
+    RIFF headers (kernel/audiometa.py — no codec library). The oracle
+    restates the generator's arithmetic."""
+    from wpextract_spark.operators.multimodal import audio_build_udf, audio_metadata
+
+    media = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        audio_build_udf()(F.col("doc_id")).alias("payload"),
+    )
+    return audio_metadata(media)
+
+
+ORACLE_AUDIO_META = """
+SELECT doc_id AS media_id, 'audio' AS kind, 'audio/wav' AS mime,
+       CAST(8000 + (doc_id % 5) * 2000 AS INTEGER) AS sample_rate,
+       CAST(1 AS INTEGER) AS n_channels,
+       CAST(1000 + (doc_id * 37) % 4000 AS BIGINT) AS n_samples,
+       CAST(1000 + (doc_id * 37) % 4000 AS DOUBLE)
+           / (8000 + (doc_id % 5) * 2000) AS duration_s
+FROM documents
+"""
+
+
 def q_pages_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: full fused extraction over the deterministic synthetic pages
     table. The oracle is the page builder's own statement of intent: synth
@@ -1054,6 +1080,7 @@ QUERIES = {
     "q_lang_id": q_lang_id,
     "q_multimodal_features": q_multimodal_features,
     "q_image_meta": q_image_meta,
+    "q_audio_meta": q_audio_meta,
     "q_frame_sample": q_frame_sample,
     "q_pages_extract": q_pages_extract,
     "q_pdf_roundtrip": q_pdf_roundtrip,
@@ -1091,6 +1118,7 @@ ORACLES = {
     "q_lang_id": _oracle_lang_id(),
     "q_multimodal_features": ORACLE_MULTIMODAL,
     "q_image_meta": ORACLE_IMAGE_META,
+    "q_audio_meta": ORACLE_AUDIO_META,
     "q_frame_sample": ORACLE_FRAME_SAMPLE,
     "q_pdf_roundtrip": ORACLE_PDF_ROUNDTRIP,
     "q_main_content": ORACLE_MAIN_CONTENT,
