@@ -71,3 +71,33 @@ def test_embedding_near_dups_multiset_and_cap(spark):
     )
     assert embedding_near_dup_pairs(clones, threshold=0.99, max_bucket=4).count() == 0
     assert embedding_near_dup_pairs(clones, threshold=0.99, max_bucket=None).count() == 45
+
+
+def test_kmeans_centroids_converge_and_stay_deterministic(spark):
+    from wpextract_spark.operators.similarity import ivf_topk, kmeans_centroids
+
+    # Two well-separated clusters around orthogonal axes + the first two
+    # vectors as seeds: one iteration must pull each centroid to its
+    # cluster's mean direction.
+    dim = 8
+    rows = []
+    for i in range(20):
+        axis = i % 2
+        vec = [0.0] * dim
+        vec[axis] = 1.0
+        vec[(axis + 2) % dim] = 0.05 * (i % 5)  # slight spread
+        rows.append((i, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    cents = kmeans_centroids(df, n_lists=2, n_iter=2)
+    assert [cid for cid, _ in cents] == [0, 1]
+    c0, c1 = (dict(cents)[0], dict(cents)[1])
+    assert c0[0] > 0.9 and c1[1] > 0.9  # each centroid on its axis
+    # Deterministic across repeated runs (rounded means, fixed seeds).
+    assert kmeans_centroids(df, n_lists=2, n_iter=2) == cents
+
+    # Search through the trained quantizer returns the axis-0 cluster for an
+    # axis-0 query.
+    query = [1.0] + [0.0] * (dim - 1)
+    got = ivf_topk(df, query, k=5, n_probe=1, centroids=cents).collect()
+    assert all(r["vec_id"] % 2 == 0 for r in got)

@@ -100,6 +100,71 @@ def lsh_topk(
     )
 
 
+def kmeans_centroids(
+    embeddings: DataFrame,
+    n_lists: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> list[tuple[int, list[float]]]:
+    """Deterministic distributed Lloyd's k-means for the IVF coarse quantizer.
+
+    Init: the ``n_lists`` vectors with the smallest ids (deterministic,
+    oracle-reproducible). Each iteration: assign every vector to its best
+    centroid by cosine (ties -> smallest centroid id), then recompute each
+    centroid as the element-wise mean of its members, rounded to
+    ``round_digits`` so an independent SQL restatement lands on identical
+    centroid literals. Empty clusters keep their previous centroid.
+
+    Fully distributed: assignment is a JVM expression over one pass; the
+    mean reduces via posexplode -> groupBy(cid, pos) avg — a shuffle of
+    N*dim skinny rows with map-side partial aggregation — and only the
+    n_lists*dim averaged cells (a few KB) ever reach the driver. Returns
+    [(cid, centroid)] sorted by cid.
+    """
+    vec = F.col(vec_col).cast("array<double>")
+    cents = sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in embeddings.select(F.col(id_col), vec)
+        .where(F.col(id_col) < n_lists)
+        .collect()
+    )
+    if not cents:
+        raise ValueError("no centroid rows with id < n_lists")
+
+    for _ in range(n_iter):
+        best = F.array_max(
+            F.array(
+                *[
+                    F.struct(
+                        cosine(vec, F.array(*[F.lit(v) for v in c])).alias("s"),
+                        F.lit(-cid).alias("nc"),
+                    )
+                    for cid, c in cents
+                ]
+            )
+        )
+        # Two selects: a generator (posexplode) in the same projection as the
+        # struct-field access makes the analyzer canonicalize the struct's
+        # field names away (col1/col2) on Spark 4.1.
+        assigned = embeddings.select((-best["nc"]).alias("cid"), vec.alias("v"))
+        cells = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.round(F.avg("val"), round_digits).alias("m"))
+            .collect()
+        )
+        means: dict[int, dict[int, float]] = {}
+        for row in cells:
+            means.setdefault(int(row["cid"]), {})[int(row["pos"])] = float(row["m"])
+        cents = [
+            (cid, [cell[p] for p in range(len(old))] if (cell := means.get(cid)) else old)
+            for cid, old in cents
+        ]
+    return cents
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query: list[float],
@@ -108,13 +173,15 @@ def ivf_topk(
     n_probe: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """Approximate top-k via IVF (inverted-file) partitioning.
 
-    Training-free deterministic coarse quantizer: the ``n_lists`` vectors
-    with the smallest ids act as centroids (reproducible in SQL for oracle
-    checks; a production build would k-means them — the search path is
-    identical). Build side: every vector is assigned to its best centroid by
+    Coarse quantizer: pass ``centroids`` (e.g. from
+    :func:`kmeans_centroids` — the production path) or fall back to the
+    training-free deterministic quantizer where the ``n_lists`` vectors
+    with the smallest ids act as centroids (both reproducible in SQL for
+    oracle checks; the search path is identical either way). Build side: every vector is assigned to its best centroid by
     cosine (ties -> smallest centroid id). Query side: the ``n_probe`` best
     centroids for the query are computed driver-side (centroids always fit in
     driver memory — that is the IVF design point) and only their lists are
@@ -125,12 +192,15 @@ def ivf_topk(
     then the same top-k reduce as brute force. No shuffle except the final k.
     """
     dim = len(query)
-    cents = [
-        (int(r[0]), [float(x) for x in r[1]])
-        for r in embeddings.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
-        .where(F.col(id_col) < n_lists)
-        .collect()
-    ]
+    if centroids is not None:
+        cents = centroids  # e.g. from kmeans_centroids (the production path)
+    else:
+        cents = [
+            (int(r[0]), [float(x) for x in r[1]])
+            for r in embeddings.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
+            .where(F.col(id_col) < n_lists)
+            .collect()
+        ]
     if not cents:
         raise ValueError("no centroid rows with id < n_lists")
 

@@ -116,3 +116,71 @@ def lang_id_udf():
 def lang_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(id, lang_guess) via the stopword-profile heuristic."""
     return docs.select(F.col(id_col), lang_id_udf()(F.col(text_col)).alias("lang_guess"))
+
+
+#: Characteristic character trigrams per language (n-gram heuristic variant).
+_LANG_TRIGRAMS = {
+    "en": [" th", "the", "he ", "ing", " an", "nd ", " of", "ion"],
+    "fr": [" le", "es ", " de", "ent", "que", " et", "ait", "eur"],
+    "de": ["der", "ein", "sch", "ich", "und", "die", "en ", "cht"],
+    "es": [" de", "los", " la", "ado", "ión", " el", "ent", "que"],
+}
+
+
+def lang_id_ngram_udf():
+    """text -> best-guess language by character-trigram profile voting.
+
+    Score per language = number of (overlapping) text trigrams contained in
+    that language's profile; tie-break and null/und semantics identical to
+    the stopword variant. Relational, so the oracle restates it in SQL."""
+
+    @F.pandas_udf(StringType())
+    def _lang(text: pd.Series) -> pd.Series:
+        def guess(value: str | None) -> str | None:
+            if not value:
+                return None
+            low = value.lower()
+            if len(low) < 3:
+                return None
+            grams = [low[i : i + 3] for i in range(len(low) - 2)]
+            scores = {
+                lang: sum(g in profile for g in grams)
+                for lang, profile in _LANG_TRIGRAMS.items()
+            }
+            best = max(scores, key=lambda l: (scores[l], l))
+            return best if scores[best] > 0 else "und"
+
+        return text.map(guess)
+
+    return _lang
+
+
+def lang_id_ngram(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, lang_guess) via the character-trigram heuristic."""
+    return docs.select(
+        F.col(id_col), lang_id_ngram_udf()(F.col(text_col)).alias("lang_guess")
+    )
+
+
+#: BPE-ish pre-tokenization regex (contractions, letter runs, digit runs,
+#: punctuation runs, whitespace runs) — deliberately lookahead-free so the
+#: identical pattern runs in Java regex (Spark) and RE2 (DuckDB oracles).
+BPE_SPLIT_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s']+"
+
+
+def bpe_token_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, n_bpe_tokens, n_ws_tokens, tokens_per_word): regex
+    pre-tokenization count (the GPT-2-style split, minus lookahead) next to
+    the whitespace count — all JVM expressions, whole-stage codegen."""
+    n_bpe = F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_SPLIT_RE), 0))
+    n_ws = F.size(_words(text_col))
+    return docs.select(
+        F.col(id_col),
+        n_bpe.alias("n_bpe_tokens"),
+        n_ws.alias("n_ws_tokens"),
+        F.round(n_bpe / F.greatest(n_ws, F.lit(1)), 6).alias("tokens_per_word"),
+    )

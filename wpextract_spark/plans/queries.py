@@ -562,6 +562,74 @@ ORDER BY cos_sim DESC, e.vec_id ASC LIMIT {k}
 """
 
 
+def q_similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a TRAINED coarse quantizer: 2 iterations of
+    deterministic distributed Lloyd's k-means (assign by cosine, mean by
+    posexplode + partial-agg, centroids rounded to 6dp so the SQL oracle
+    lands on identical literals), then the same probe + exact re-rank."""
+    from wpextract_spark.operators.similarity import kmeans_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(emb, n_lists=8, n_iter=2)
+    return ivf_topk(emb, _SIM_QUERY, k=10, n_probe=3, centroids=cents)
+
+
+def _oracle_sim_ivf_kmeans(
+    dim: int = 64, n_lists: int = 8, n_iter: int = 2, n_probe: int = 3, k: int = 10
+) -> str:
+    # query = [1, 0, 0, ...]: q . v == v[1] and |q| == 1 (same as _SIM_QUERY).
+    dot = f"list_sum([e.v[i+1] * c.cv[i+1] for i in range({dim})])"
+    norm_e = "sqrt(list_sum([x * x for x in e.v]))"
+    norm_c = "sqrt(list_sum([x * x for x in c.cv]))"
+    parts = [
+        f"""WITH e AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {n_lists})"""
+    ]
+    for it in range(n_iter):
+        prev, nxt = f"c{it}", f"c{it + 1}"
+        parts.append(
+            f"""a{it} AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {dot} / ({norm_e} * {norm_c}) DESC, c.cid ASC) rn
+    FROM e CROSS JOIN {prev} c) WHERE rn = 1),
+m{it} AS (
+  SELECT a.cid, t.i AS pos, round(avg(e.v[t.i + 1]), 6) AS m
+  FROM a{it} a JOIN e ON a.vec_id = e.vec_id CROSS JOIN range({dim}) t(i)
+  GROUP BY a.cid, t.i),
+{nxt} AS (
+  SELECT p.cid,
+         CASE WHEN count(m.m) = 0 THEN any_value(p.cv)
+              ELSE list(m.m ORDER BY m.pos) END AS cv
+  FROM {prev} p LEFT JOIN m{it} m ON m.cid = p.cid
+  GROUP BY p.cid)"""
+        )
+    final = f"c{n_iter}"
+    parts.append(
+        f"""assigned AS (
+  SELECT vec_id, cid AS list_id FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {dot} / ({norm_e} * {norm_c}) DESC, c.cid ASC) rn
+    FROM e CROSS JOIN {final} c) WHERE rn = 1),
+probe AS (
+  SELECT cid FROM (
+    SELECT cid, row_number() OVER (
+      ORDER BY cv[1] / sqrt(list_sum([x * x for x in cv])) DESC, cid ASC) rn
+    FROM {final}) WHERE rn <= {n_probe})"""
+    )
+    body = ",\n".join(parts)
+    return f"""{body}
+SELECT e.vec_id, a.list_id,
+       round(e.v[1] / sqrt(list_sum([x * x for x in e.v])), 6) AS cos_sim
+FROM e JOIN assigned a ON a.vec_id = e.vec_id
+WHERE a.list_id IN (SELECT cid FROM probe)
+ORDER BY cos_sim DESC, e.vec_id ASC LIMIT {k}
+"""
+
+
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: multi-probe sign-LSH (4 independent
     8-plane sets unioned) + exact cosine verify + mega-bucket cap (threshold
@@ -832,6 +900,72 @@ FROM s
 """
 
 
+def q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram language ID (the n-gram heuristic variant); the
+    oracle restates the trigram voting in SQL from the same profile dict."""
+    from wpextract_spark.operators.textstats import lang_id_ngram
+
+    return lang_id_ngram(_t(spark, sf_dir, "documents"))
+
+
+def _oracle_lang_id_ngram() -> str:
+    from wpextract_spark.operators.textstats import _LANG_TRIGRAMS
+
+    score_cols = []
+    structs = []
+    for code in sorted(_LANG_TRIGRAMS):
+        grams = ", ".join(f"'{g}'" for g in _LANG_TRIGRAMS[code])
+        score_cols.append(
+            f"len(list_filter(grams, g -> list_contains([{grams}], g))) AS s_{code}"
+        )
+        structs.append(f"{{'s': s_{code}, 'l': '{code}'}}")
+    scores = ",\n         ".join(score_cols)
+    struct_list = ", ".join(structs)
+    greatest = ", ".join(f"s_{c}" for c in sorted(_LANG_TRIGRAMS))
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN text IS NULL OR length(text) < 3 THEN NULL
+              ELSE [substr(lower(text), i + 1, 3)
+                    for i in range(length(text) - 2)] END AS grams
+  FROM documents),
+s AS (
+  SELECT doc_id, grams,
+         {scores}
+  FROM t)
+SELECT doc_id,
+       CASE WHEN grams IS NULL THEN NULL
+            WHEN greatest({greatest}) = 0 THEN 'und'
+            ELSE list_max([{struct_list}]).l
+       END AS lang_guess
+FROM s
+"""
+
+
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex pre-tokenization counts (lookahead-free so the same
+    pattern runs in Java regex and the oracle's RE2)."""
+    from wpextract_spark.operators.textstats import bpe_token_stats
+
+    return bpe_token_stats(_t(spark, sf_dir, "documents"))
+
+
+def _oracle_bpe_tokens() -> str:
+    from wpextract_spark.operators.textstats import BPE_SPLIT_RE
+
+    pat = BPE_SPLIT_RE.replace("'", "''")
+    return rf"""
+WITH c AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{pat}', 0)) AS n_bpe_tokens,
+         len(string_split_regex(trim(text), '{WS_SQL}')) AS n_ws_tokens
+  FROM documents)
+SELECT doc_id, n_bpe_tokens, n_ws_tokens,
+       round(n_bpe_tokens / greatest(n_ws_tokens, 1), 6) AS tokens_per_word
+FROM c
+"""
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = documents_as_media(_t(spark, sf_dir, "documents"))
     feats = extract_media_features(media)
@@ -1069,6 +1203,7 @@ QUERIES = {
     "q_similarity_topk": q_similarity_topk,
     "q_similarity_lsh": q_similarity_lsh,
     "q_similarity_ivf": q_similarity_ivf,
+    "q_similarity_ivf_kmeans": q_similarity_ivf_kmeans,
     "q_embedding_near_dups": q_embedding_near_dups,
     "q_simhash_near_dups": q_simhash_near_dups,
     "q_salted_agg": q_salted_agg,
@@ -1078,6 +1213,8 @@ QUERIES = {
     "q_quality_scores": q_quality_scores,
     "q_fingerprints": q_fingerprints,
     "q_lang_id": q_lang_id,
+    "q_lang_id_ngram": q_lang_id_ngram,
+    "q_bpe_tokens": q_bpe_tokens,
     "q_multimodal_features": q_multimodal_features,
     "q_image_meta": q_image_meta,
     "q_audio_meta": q_audio_meta,
@@ -1107,6 +1244,7 @@ ORACLES = {
     "q_similarity_topk": ORACLE_SIM_TOPK,
     "q_similarity_lsh": _oracle_sim_lsh(),
     "q_similarity_ivf": _oracle_sim_ivf(),
+    "q_similarity_ivf_kmeans": _oracle_sim_ivf_kmeans(),
     "q_embedding_near_dups": _oracle_emb_near_dups(),
     "q_simhash_near_dups": _oracle_simhash_near_dups(),
     "q_salted_agg": ORACLE_SALTED_AGG,
@@ -1116,6 +1254,8 @@ ORACLES = {
     "q_quality_scores": _oracle_quality(),
     "q_fingerprints": ORACLE_FINGERPRINTS,
     "q_lang_id": _oracle_lang_id(),
+    "q_lang_id_ngram": _oracle_lang_id_ngram(),
+    "q_bpe_tokens": _oracle_bpe_tokens(),
     "q_multimodal_features": ORACLE_MULTIMODAL,
     "q_image_meta": ORACLE_IMAGE_META,
     "q_audio_meta": ORACLE_AUDIO_META,
