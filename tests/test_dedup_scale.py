@@ -101,3 +101,31 @@ def test_kmeans_centroids_converge_and_stay_deterministic(spark):
     query = [1.0] + [0.0] * (dim - 1)
     got = ivf_topk(df, query, k=5, n_probe=1, centroids=cents).collect()
     assert all(r["vec_id"] % 2 == 0 for r in got)
+
+
+def test_lang_id_ngram_and_bpe_edges(spark):
+    from pyspark.sql import functions as F
+
+    from wpextract_spark.operators.textstats import bpe_token_stats, lang_id_ngram
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the thing in the thicket"),   # en trigrams
+            (2, "les questions entre les eaux"),  # fr trigrams
+            (3, "xq"),                          # too short -> null
+            (4, None),                          # null -> null
+            (5, "zzzz qqqq"),                   # no profile hits -> und
+            (6, "it's 42 degrees, isn't it?"),
+        ],
+        "doc_id long, text string",
+    )
+    langs = {r["doc_id"]: r["lang_guess"] for r in lang_id_ngram(docs).collect()}
+    assert langs[1] == "en" and langs[2] == "fr"
+    assert langs[3] is None and langs[4] is None
+    assert langs[5] == "und"
+
+    bpe = {r["doc_id"]: r for r in bpe_token_stats(docs).collect()}
+    # "it's 42 degrees, isn't it?" -> it|'s| 42| degrees|,| isn|'t| it|?
+    assert bpe[6]["n_bpe_tokens"] == 9
+    assert bpe[6]["n_ws_tokens"] == 5
+    assert bpe[4]["n_bpe_tokens"] is None or bpe[4]["n_bpe_tokens"] == 0

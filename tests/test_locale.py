@@ -54,3 +54,38 @@ def test_simplify_and_macro():
     assert normalize_tag("cmn", prefer_macrolanguage=True) == "zh"
     assert normalize_tag("ru-Cyrl", simplify_script=True) == "ru"
     assert normalize_tag("en-Cyrl", simplify_script=True) == "en-Cyrl"
+
+
+def test_grandfathered_tags_normalize():
+    """RFC 5646 grandfathered tags map to their preferred values (langcodes
+    standardize_tag behaviour)."""
+    from wpextract_spark.functions.locale import normalize_tag, tag_is_valid
+
+    assert normalize_tag("i-klingon") == "tlh"
+    assert normalize_tag("art-lojban") == "jbo"
+    assert normalize_tag("no-bok") == "nb"
+    assert normalize_tag("no-nyn") == "nn"
+    assert normalize_tag("zh-min-nan") == "nan"
+    assert normalize_tag("zh-guoyu") == "cmn"
+    assert normalize_tag("zh-guoyu", prefer_macrolanguage=True) == "zh"
+    assert normalize_tag("i-navajo") == "nv"
+    assert normalize_tag("sgn-BE-FR") == "sfb"
+    assert normalize_tag("en-GB-oed") == "en-GB-oxendict"
+    # No preferred value: stays valid, round-trips unchanged.
+    assert tag_is_valid("i-default")
+    assert normalize_tag("i-default") == "i-default"
+    # Not grandfathered, not parseable.
+    assert not tag_is_valid("i-notreal")
+
+
+def test_extlang_tags_normalize():
+    """Extended-language subtags replace their macrolanguage prefix
+    (zh-cmn-Hans -> cmn-Hans; with macrolanguage preference -> zh-Hans)."""
+    from wpextract_spark.functions.locale import normalize_tag, tag_is_valid
+
+    assert normalize_tag("zh-cmn") == "cmn"
+    assert normalize_tag("zh-cmn-Hans") == "cmn-Hans"
+    assert normalize_tag("zh-cmn-Hans", prefer_macrolanguage=True) == "zh-Hans"
+    assert normalize_tag("zh-yue") == "yue"
+    assert tag_is_valid("ar-arb")
+    assert normalize_tag("ms-zsm") == "zsm"

@@ -63,7 +63,11 @@ _ISO639_3_TO_1 = {
 _ISO639_3_VALID = frozenset(
     "ast fil hak haw ilo jbo kab lus nan pap scn tpi war wuu yue arz ckb prs pnb don "
     "grc lat ang enm fro gmh goh non peo san pli arc cop egy sux akk hit arn ace ban "
-    "bho bug ceb gan hmn kri lmo mad min mwl nds nso pag pam pms sah szl tet tum vec".split()
+    "bho bug ceb gan hmn kri lmo mad min mwl nds nso pag pam pms sah szl tet tum vec "
+    # Grandfathered-tag replacements + extlang family members (RFC 5646).
+    "tlh sfb vgt sgg ami bnn pwn tao tay tsu hsn ase bfi csl fsl gsg "
+    "cdo cjy czh czo lzh mnp abv acm acq aeb afb ajp apc apd arq ars ary "
+    "auz ayl ayn ayp bjn".split()
 )
 
 # Macrolanguage preference (langcodes Language.prefer_macrolanguage()).
@@ -147,11 +151,47 @@ class ParsedTag:
         return "-".join(parts)
 
 
+#: RFC 5646 grandfathered tags -> preferred value (None = no replacement,
+#: the tag stays valid as-is). Mirrors langcodes' standardize_tag behaviour.
+_GRANDFATHERED: dict[str, Optional[str]] = {
+    "en-gb-oed": "en-gb-oxendict",
+    "i-ami": "ami", "i-bnn": "bnn", "i-default": None, "i-enochian": None,
+    "i-hak": "hak", "i-klingon": "tlh", "i-lux": "lb", "i-mingo": None,
+    "i-navajo": "nv", "i-pwn": "pwn", "i-tao": "tao", "i-tay": "tay",
+    "i-tsu": "tsu", "sgn-be-fr": "sfb", "sgn-be-nl": "vgt", "sgn-ch-de": "sgg",
+    "art-lojban": "jbo", "cel-gaulish": None, "no-bok": "nb", "no-nyn": "nn",
+    "zh-guoyu": "cmn", "zh-hakka": "hak", "zh-min": None, "zh-min-nan": "nan",
+    "zh-xiang": "hsn",
+}
+
+#: Extended-language subtags whose preferred form is the extlang itself
+#: (RFC 5646 §2.2.2: "zh-cmn-Hans" canonicalizes to "cmn-Hans"). Subset:
+#: the Chinese, Arabic, and Malay families a crawl actually encounters.
+_EXTLANGS = frozenset(
+    "cmn yue nan hak hsn gan wuu cdo cjy czh czo lzh mnp "
+    "arb abv acm acq aeb afb ajp apc apd arq ars ary arz auz ayl ayn ayp "
+    "zsm bjn "
+    "ase bfi csl fsl gsg".split()
+)
+
+
 def parse_tag(tag: str) -> Optional[ParsedTag]:
     """Parse ``tag``; return None if syntactically/registrationally invalid."""
     if not tag:
         return None
-    subtags = tag.lower().split("-")
+    lowered = tag.lower()
+    if lowered in _GRANDFATHERED:
+        replacement = _GRANDFATHERED[lowered]
+        if replacement is None:
+            # Valid grandfathered tag with no preferred value: represent as
+            # an opaque single-language parse so it round-trips unchanged.
+            return ParsedTag(lowered, None, None, [], [], [])
+        lowered = replacement
+    subtags = lowered.split("-")
+    # Extlang: language + 3-letter extended subtag; the extlang replaces the
+    # prefix (zh-cmn-Hans -> cmn-Hans).
+    if len(subtags) >= 2 and subtags[1] in _EXTLANGS and 2 <= len(subtags[0]) <= 3:
+        subtags = subtags[1:]
     lang = subtags[0]
     if not _ALPHA.match(lang):
         return None
