@@ -71,3 +71,50 @@ def test_salted_join_no_cartesian(spark):
     plan = _plan(salted_join(left, right, ["k"], buckets=4))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_near_dup_caps_applied_before_self_join(spark):
+    """The mega-bucket window filter must sit BELOW the self-join in both
+    near-dup operators — capping after the join would defeat the guard."""
+    from wpextract_spark.operators.dedup import simhash_near_dup_pairs
+    from wpextract_spark.operators.similarity import embedding_near_dup_pairs
+
+    docs = spark.createDataFrame([(1, "a b c"), (2, "a b d")], "doc_id long, text string")
+    plan = _plan(simhash_near_dup_pairs(docs))
+    join_pos = plan.find("Join")
+    win_pos = plan.find("Window")
+    assert join_pos >= 0 and win_pos >= 0
+    assert win_pos > join_pos, "window (cap) should be under the join in the plan tree"
+
+    emb = spark.createDataFrame([(1, [1.0, 0.0]), (2, [0.9, 0.1])], "vec_id long, embedding array<float>")
+    plan = _plan(embedding_near_dup_pairs(emb, threshold=0.5))
+    join_pos = plan.find("Join")
+    win_pos = plan.find("Window")
+    assert join_pos >= 0 and win_pos >= 0 and win_pos > join_pos
+
+
+def test_image_meta_scan_prunes_to_doc_id(spark):
+    """q_image_meta synthesizes payloads from doc_id alone: the documents
+    scan must not read text/html columns."""
+    from wpextract_spark.plans.queries import q_image_meta
+
+    plan = _plan(q_image_meta(spark, "/root/testdata/sf0.001"))
+    read = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read, plan
+    assert "doc_id" in read[0] and "text" not in read[0]
+
+
+def test_textstats_queries_are_codegen_only(spark):
+    """Token/quality/fingerprint/BPE stats must stay whole-stage-codegen JVM
+    expressions — no Python workers (BatchEvalPython/ArrowEvalPython) in the
+    plan."""
+    from wpextract_spark.plans.queries import (
+        q_bpe_tokens,
+        q_fingerprints,
+        q_quality_scores,
+        q_token_stats,
+    )
+
+    for fn in (q_token_stats, q_quality_scores, q_fingerprints, q_bpe_tokens):
+        plan = _plan(fn(spark, "/root/testdata/sf0.001"))
+        assert "EvalPython" not in plan, f"{fn.__name__} fell back to Python:\n{plan}"

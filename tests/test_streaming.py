@@ -14,6 +14,29 @@ def _write_batch(spark, tmp_path, n, seed, name):
     return pages
 
 
+def _drain_stateful(spark, query, out_dir, expected_rows, timeout_s=120):
+    """Wait until a stateful availableNow query has committed
+    ``expected_rows`` output rows, then stop it.
+
+    availableNow + ProcessingTimeTimeout never self-terminates (the engine
+    keeps the trigger alive to fire future state timeouts), so tests poll the
+    sink for the expected row count instead of awaitTermination."""
+    import time
+
+    deadline = time.time() + timeout_s
+    count = -1
+    while time.time() < deadline:
+        try:
+            count = spark.read.parquet(str(out_dir)).count()
+        except Exception:
+            count = -1
+        if count >= expected_rows:
+            break
+        time.sleep(1.0)
+    query.stop()
+    assert count >= expected_rows, f"sink stuck at {count} < {expected_rows}"
+
+
 def test_stream_matches_batch_and_resumes(spark, tmp_path):
     pages = _write_batch(spark, tmp_path, 60, seed=3, name="a")
 
@@ -80,7 +103,7 @@ def test_stateful_first_seen_dedup(spark, tmp_path):
     batch1 = generate_pages(spark, n_pages=30, seed=21, partitions=1)
     batch1.write.mode("append").parquet(str(in_dir))
 
-    def drain():
+    def drain(expected_rows):
         stream = spark.readStream.schema(PAGES_SCHEMA).parquet(str(in_dir))
         q = (
             first_seen_stream(stream)
@@ -91,10 +114,10 @@ def test_stateful_first_seen_dedup(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        _drain_stateful(spark, q, out_dir, expected_rows)
 
-    drain()
     n1 = batch1.select(F.md5("text")).distinct().count()
+    drain(n1)
     out1 = spark.read.parquet(str(out_dir))
     assert out1.count() == n1  # one survivor per distinct content hash
 
@@ -102,7 +125,8 @@ def test_stateful_first_seen_dedup(spark, tmp_path):
     dup = batch1.withColumn("url", F.concat(F.col("url"), F.lit("copy/")))
     new = generate_pages(spark, n_pages=10, seed=77, partitions=1)
     dup.unionByName(new).write.mode("append").parquet(str(in_dir))
-    drain()
+    n_total_expected = batch1.unionByName(new).select(F.md5("text")).distinct().count()
+    drain(n_total_expected)
 
     n_total = (
         batch1.unionByName(new).select(F.md5("text")).distinct().count()
@@ -114,3 +138,61 @@ def test_stateful_first_seen_dedup(spark, tmp_path):
     # Batch reference semantics agree with the streamed result set.
     ref = first_seen_batch(batch1.unionByName(dup).unionByName(new))
     assert ref.count() == n_total
+
+
+def test_stateful_domain_stats(spark, tmp_path):
+    """applyInPandasWithState running aggregates: totals accumulate across
+    micro-batches per domain and match the batch groupBy on the full input."""
+    from pyspark.sql import functions as F
+    from wpextract_spark.sources.synth import PAGES_SCHEMA
+    from wpextract_spark.streaming.domain_stats import (
+        domain_stats_batch,
+        domain_stats_stream,
+    )
+
+    in_dir, out_dir, ckpt = tmp_path / "in", tmp_path / "out", tmp_path / "ckpt"
+    batch1 = generate_pages(spark, n_pages=40, seed=5, partitions=1)
+    batch1.write.mode("append").parquet(str(in_dir))
+
+    def drain(expected_rows):
+        stream = spark.readStream.schema(PAGES_SCHEMA).parquet(str(in_dir))
+        q = (
+            domain_stats_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", str(out_dir))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain_stateful(spark, q, out_dir, expected_rows)
+
+    d1 = batch1.select(F.regexp_extract("url", r"^https?://([^/]+)", 1)).distinct().count()
+    drain(d1)
+    batch2 = generate_pages(spark, n_pages=60, seed=5, partitions=1).where(
+        F.xxhash64("url") % 2 == 0
+    )
+    batch2.write.mode("append").parquet(str(in_dir))
+    d2 = batch2.select(F.regexp_extract("url", r"^https?://([^/]+)", 1)).distinct().count()
+    drain(d1 + d2)
+
+    # Last emission per domain == batch totals over everything ingested.
+    out = spark.read.parquet(str(out_dir))
+    from pyspark.sql import Window
+    latest = (
+        out.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("domain").orderBy(F.desc("n_docs"))
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    ref = domain_stats_batch(batch1.unionByName(batch2))
+    got = {r["domain"]: r for r in latest.collect()}
+    for r in ref.collect():
+        g = got[r["domain"]]
+        assert (g["n_docs"], g["total_chars"]) == (r["n_docs"], r["total_chars"]), r["domain"]
+        assert (g["first_ts"], g["last_ts"]) == (r["first_ts"], r["last_ts"])
+    assert set(got) == {r["domain"] for r in ref.collect()}
