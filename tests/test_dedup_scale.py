@@ -129,3 +129,28 @@ def test_lang_id_ngram_and_bpe_edges(spark):
     assert bpe[6]["n_bpe_tokens"] == 9
     assert bpe[6]["n_ws_tokens"] == 5
     assert bpe[4]["n_bpe_tokens"] is None or bpe[4]["n_bpe_tokens"] == 0
+
+
+def test_lang_id_whitespace_only_text(spark):
+    """Whitespace-only text (tabs/newlines, not just spaces) must yield NULL
+    from the stopword lang-id — and the oracle agrees (DuckDB trim() alone
+    only strips spaces)."""
+    import duckdb
+
+    from wpextract_spark.operators.textstats import lang_id
+    from wpextract_spark.plans.queries import _oracle_lang_id
+
+    docs = spark.createDataFrame(
+        [(1, "\n\t\n"), (2, "   "), (3, "the of and")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["lang_guess"] for r in lang_id(docs).collect()}
+    assert got[1] is None and got[2] is None and got[3] == "en"
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        "(1, chr(10) || chr(9) || chr(10)), (2, '   '), (3, 'the of and')"
+        ") t(doc_id, text)"
+    )
+    oracle = {r[0]: r[1] for r in con.execute(_oracle_lang_id()).fetchall()}
+    assert oracle == got

@@ -89,3 +89,16 @@ def test_extlang_tags_normalize():
     assert normalize_tag("zh-yue") == "yue"
     assert tag_is_valid("ar-arb")
     assert normalize_tag("ms-zsm") == "zsm"
+
+
+def test_extlang_requires_registered_prefix():
+    """An extlang is only valid under its registered prefix: 'xx-yue' must
+    stay invalid, not launder into 'yue'."""
+    from wpextract_spark.functions.locale import normalize_tag, tag_is_valid
+
+    assert not tag_is_valid("xx-yue")
+    assert not tag_is_valid("qq-cmn-Hans")
+    assert not tag_is_valid("en-cmn")
+    assert not tag_is_valid("de-arb")
+    assert normalize_tag("zh-yue") == "yue"
+    assert tag_is_valid("sgn-ase")

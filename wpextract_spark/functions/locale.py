@@ -164,15 +164,16 @@ _GRANDFATHERED: dict[str, Optional[str]] = {
     "zh-xiang": "hsn",
 }
 
-#: Extended-language subtags whose preferred form is the extlang itself
-#: (RFC 5646 §2.2.2: "zh-cmn-Hans" canonicalizes to "cmn-Hans"). Subset:
-#: the Chinese, Arabic, and Malay families a crawl actually encounters.
-_EXTLANGS = frozenset(
-    "cmn yue nan hak hsn gan wuu cdo cjy czh czo lzh mnp "
-    "arb abv acm acq aeb afb ajp apc apd arq ars ary arz auz ayl ayn ayp "
-    "zsm bjn "
-    "ase bfi csl fsl gsg".split()
-)
+#: Extended-language subtags -> their single registered prefix
+#: (RFC 5646 §2.2.2 / IANA registry: "zh-cmn-Hans" canonicalizes to
+#: "cmn-Hans", and "cmn" is only valid after "zh"). Subset: the Chinese,
+#: Arabic, Malay, and sign-language families a crawl actually encounters.
+_EXTLANG_PREFIX = {
+    **{e: "zh" for e in "cmn yue nan hak hsn gan wuu cdo cjy czh czo lzh mnp".split()},
+    **{e: "ar" for e in "arb abv acm acq aeb afb ajp apc apd arq ars ary arz auz ayl ayn ayp".split()},
+    **{e: "ms" for e in "zsm bjn".split()},
+    **{e: "sgn" for e in "ase bfi csl fsl gsg".split()},
+}
 
 
 def parse_tag(tag: str) -> Optional[ParsedTag]:
@@ -189,8 +190,9 @@ def parse_tag(tag: str) -> Optional[ParsedTag]:
         lowered = replacement
     subtags = lowered.split("-")
     # Extlang: language + 3-letter extended subtag; the extlang replaces the
-    # prefix (zh-cmn-Hans -> cmn-Hans).
-    if len(subtags) >= 2 and subtags[1] in _EXTLANGS and 2 <= len(subtags[0]) <= 3:
+    # prefix (zh-cmn-Hans -> cmn-Hans) — but only under its one registered
+    # prefix ("xx-yue" must stay invalid, not launder into "yue").
+    if len(subtags) >= 2 and _EXTLANG_PREFIX.get(subtags[1]) == subtags[0]:
         subtags = subtags[1:]
     lang = subtags[0]
     if not _ALPHA.match(lang):

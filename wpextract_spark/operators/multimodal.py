@@ -77,35 +77,47 @@ def extract_media_features(
     return media.mapInPandas(_extract, FEATURES_SCHEMA)
 
 
-def image_metadata(media: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Real (no-codec) image metadata: sniff mime/width/height from header
-    bytes for PNG/GIF/JPEG payloads.
+def _sniff_metadata(
+    media: DataFrame,
+    sniffer,
+    fields: list[tuple[str, str | None]],
+    schema: str,
+    payload_col: str,
+) -> DataFrame:
+    """Shared header-sniffing wrapper: run ``sniffer(payload) -> tuple|None``
+    per row, unpack the tuple into the named (nullable) columns.
 
-    Output: (media_id, kind, mime, width, height); non-image or corrupt
-    payloads yield nulls (quarantine contract, the sniffer never raises).
-    Only header bytes are read — at crawl scale pair with a payload-prefix
-    projection so metadata queries never materialize full blobs.
+    Corrupt/foreign payloads yield nulls (quarantine contract: sniffers never
+    raise). Only header bytes are read — at crawl scale pair with a
+    payload-prefix projection so metadata queries never materialize blobs.
     """
-    from wpextract_spark.kernel.imagemeta import sniff_image
 
     def _sniff(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             metas = [
-                sniff_image(bytes(b)) if b is not None else None
+                sniffer(bytes(b)) if b is not None else None
                 for b in batch[payload_col]
             ]
-            yield pd.DataFrame(
-                {
-                    "media_id": batch["media_id"],
-                    "kind": batch["kind"],
-                    "mime": [m[0] if m else None for m in metas],
-                    "width": pd.array([m[1] if m else None for m in metas], dtype="Int32"),
-                    "height": pd.array([m[2] if m else None for m in metas], dtype="Int32"),
-                }
-            )
+            out = {"media_id": batch["media_id"], "kind": batch["kind"]}
+            for idx, (name, dtype) in enumerate(fields):
+                vals = [m[idx] if m else None for m in metas]
+                out[name] = pd.array(vals, dtype=dtype) if dtype else vals
+            yield pd.DataFrame(out)
 
-    return media.mapInPandas(
-        _sniff, "media_id long, kind string, mime string, width int, height int"
+    return media.mapInPandas(_sniff, schema)
+
+
+def image_metadata(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Real (no-codec) image metadata: mime/width/height sniffed from
+    PNG/GIF/JPEG header bytes (kernel/imagemeta.py)."""
+    from wpextract_spark.kernel.imagemeta import sniff_image
+
+    return _sniff_metadata(
+        media,
+        sniff_image,
+        [("mime", None), ("width", "Int32"), ("height", "Int32")],
+        "media_id long, kind string, mime string, width int, height int",
+        payload_col,
     )
 
 
@@ -146,45 +158,23 @@ def frame_sample_stub(
 
 
 def audio_metadata(media: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """Real (no-codec) audio metadata: sniff sample rate / channels / sample
-    count / duration from PCM WAV RIFF headers.
-
-    Output: (media_id, kind, mime, sample_rate, n_channels, n_samples,
-    duration_s); non-WAV or corrupt payloads yield nulls (quarantine
-    contract, the sniffer never raises).
-    """
+    """Real (no-codec) audio metadata: sample rate / channels / sample count
+    / duration sniffed from PCM WAV RIFF headers (kernel/audiometa.py)."""
     from wpextract_spark.kernel.audiometa import sniff_wav
 
-    def _sniff(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for batch in batches:
-            metas = [
-                sniff_wav(bytes(b)) if b is not None else None
-                for b in batch[payload_col]
-            ]
-            yield pd.DataFrame(
-                {
-                    "media_id": batch["media_id"],
-                    "kind": batch["kind"],
-                    "mime": [m[0] if m else None for m in metas],
-                    "sample_rate": pd.array(
-                        [m[1] if m else None for m in metas], dtype="Int32"
-                    ),
-                    "n_channels": pd.array(
-                        [m[2] if m else None for m in metas], dtype="Int32"
-                    ),
-                    "n_samples": pd.array(
-                        [m[3] if m else None for m in metas], dtype="Int64"
-                    ),
-                    "duration_s": pd.array(
-                        [m[4] if m else None for m in metas], dtype="Float64"
-                    ),
-                }
-            )
-
-    return media.mapInPandas(
-        _sniff,
+    return _sniff_metadata(
+        media,
+        sniff_wav,
+        [
+            ("mime", None),
+            ("sample_rate", "Int32"),
+            ("n_channels", "Int32"),
+            ("n_samples", "Int64"),
+            ("duration_s", "Float64"),
+        ],
         "media_id long, kind string, mime string, sample_rate int, "
         "n_channels int, n_samples long, duration_s double",
+        payload_col,
     )
 
 

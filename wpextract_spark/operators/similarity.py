@@ -115,7 +115,11 @@ def kmeans_centroids(
     centroid by cosine (ties -> smallest centroid id), then recompute each
     centroid as the element-wise mean of its members, rounded to
     ``round_digits`` so an independent SQL restatement lands on identical
-    centroid literals. Empty clusters keep their previous centroid.
+    centroid literals. (Residual cross-engine risk: two engines' float sums
+    can differ in the last ulp, so a mean cell sitting exactly on a
+    round-half boundary could round differently — probability ~0 for
+    real-valued embeddings, and any flip surfaces loudly as an oracle hash
+    mismatch, not silently.) Empty clusters keep their previous centroid.
 
     Fully distributed: assignment is a JVM expression over one pass; the
     mean reduces via posexplode -> groupBy(cid, pos) avg — a shuffle of

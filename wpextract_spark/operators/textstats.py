@@ -93,12 +93,18 @@ def fingerprints(
 def lang_id_udf():
     """text -> best-guess language code by stopword-profile voting."""
 
+    import re as _re
+
+    # ASCII whitespace explicitly (not str.split()'s Unicode set) so the SQL
+    # oracle's RE2 \s split has identical token boundaries.
+    ascii_ws = _re.compile(r"[ \t\n\r\f\v]+")
+
     @F.pandas_udf(StringType())
     def _lang_id(text: pd.Series) -> pd.Series:
         def guess(value: str | None) -> str | None:
             if not value:
                 return None
-            tokens = value.lower().split()
+            tokens = [t for t in ascii_ws.split(value.lower()) if t]
             if not tokens:
                 return None
             scores = {

@@ -881,11 +881,12 @@ def _oracle_lang_id() -> str:
     greatest = ", ".join(f"s_{c}" for c in sorted(_LANG_PROFILES))
     # max by (score, lang) — struct comparison is field-order lexicographic,
     # matching the Python kernel's max(scores, key=lambda l: (scores[l], l)).
+    ws = "' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)"
     return rf"""
 WITH t AS (
   SELECT doc_id,
-         CASE WHEN text IS NULL OR trim(text) = '' THEN NULL
-              ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+         CASE WHEN text IS NULL OR trim(text, {ws}) = '' THEN NULL
+              ELSE string_split_regex(trim(lower(text), {ws}), '\s+') END AS toks
   FROM documents),
 s AS (
   SELECT doc_id, toks,
@@ -1038,12 +1039,19 @@ def q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # squash_whitespace (functions/text.py:32) restated in SQL: collapse \n runs,
-# strip line-leading whitespace, trim ends.
-ORACLE_MAIN_CONTENT = r"""
+# strip line-leading whitespace, trim ends. The character class spells out
+# Python's Unicode \s / str.strip() set explicitly — RE2's \s is ASCII-only
+# and would diverge on \x0b/NBSP/Unicode spaces.
+_PY_WS_CLS = (
+    r"\t\n\x{0b}\f\r\x{1c}-\x{1f} \x{85}\x{a0}\x{1680}"
+    r"\x{2000}-\x{200a}\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}"
+)
+ORACLE_MAIN_CONTENT = rf"""
 SELECT doc_id,
-       trim(regexp_replace(regexp_replace(text, '\n{2,}', chr(10), 'g'),
-                           '(?m)^\s+', '', 'g'),
-            ' ' || chr(9) || chr(10) || chr(13) || chr(12) || chr(11)) AS main_text,
+       regexp_replace(
+         regexp_replace(regexp_replace(text, '\n{{2,}}', chr(10), 'g'),
+                        '(?m)^[{_PY_WS_CLS}]+', '', 'g'),
+         '^[{_PY_WS_CLS}]+|[{_PY_WS_CLS}]+$', '', 'g') AS main_text,
        false AS quarantined
 FROM documents
 """
@@ -1163,7 +1171,7 @@ def _oracle_pages_extract(n_pages: int = 300, seed: int = 42) -> str:
 
     rows = []
     for doc_id in range(n_pages):
-        p = synth_page(doc_id, seed)
+        p = synth_page(doc_id, seed, with_expected=True)
         text_md5 = _hashlib.md5(p["expected_text"].encode("utf-8")).hexdigest()
         rows.append(
             f"('{p['url']}', '{p['lang']}', '{text_md5}', "

@@ -46,7 +46,9 @@ def _words(seed: int, doc_id: int, salt: str, count: int) -> str:
     return " ".join(_WORDS[(base + i * 2654435761) % len(_WORDS)] for i in range(count))
 
 
-def synth_page(doc_id: int, seed: int = 42, n_domains: int = 1000) -> dict:
+def synth_page(
+    doc_id: int, seed: int = 42, n_domains: int = 1000, with_expected: bool = False
+) -> dict:
     """One deterministic page record (driver- and executor-side identical)."""
     # Zipf-ish domain skew: rank log-uniform in [0, n_domains).
     rank = int(math.exp(_u01(seed, doc_id, "dom") * math.log(max(n_domains, 2)))) - 1
@@ -105,6 +107,18 @@ def synth_page(doc_id: int, seed: int = 42, n_domains: int = 1000) -> dict:
         "<footer>share widgets | comment form</footer></body></html>"
     )
     warc_ts = datetime(2024, 1, 1) + timedelta(seconds=doc_id % 31536000)
+    row = {
+        "url": url,
+        "warc_ts": warc_ts,
+        "html": html.encode("utf-8"),
+        "text": _words(seed, doc_id, "crawltext", 12),
+        "lang": lang,
+    }
+    if not with_expected:
+        # Skip the expected-output composition in the generation hot path
+        # (bench/scaling runs build 10^5-10^6 pages; only the oracle builder
+        # needs expected_*).
+        return row
 
     # Expected extraction outputs, stated BY CONSTRUCTION (not by running the
     # kernel): the page intentionally embeds these texts/spans, so the kernel
@@ -124,22 +138,15 @@ def synth_page(doc_id: int, seed: int = 42, n_domains: int = 1000) -> dict:
     half = len(paragraphs) // 2
     body_texts = [picker_text, *para_texts[:half], "", "", "",
                   *span_texts, "", *para_texts[half:]]
-    expected_text = squash_whitespace(
+    row["expected_text"] = squash_whitespace(
         f"Post {doc_id}" + "home | about" + "\n".join(body_texts)
         + "share widgets | comment form"
     )
-    return {
-        "url": url,
-        "warc_ts": warc_ts,
-        "html": html.encode("utf-8"),
-        "text": _words(seed, doc_id, "crawltext", 12),
-        "lang": lang,
-        "expected_text": expected_text,
-        "expected_n_internal": 3 + (3 if picker else 0),
-        "expected_n_external": 1,
-        "expected_n_images": 1,
-        "expected_n_embeds": 1 if iframe else 0,
-    }
+    row["expected_n_internal"] = 3 + (3 if picker else 0)
+    row["expected_n_external"] = 1
+    row["expected_n_images"] = 1
+    row["expected_n_embeds"] = 1 if iframe else 0
+    return row
 
 
 PAGES_SCHEMA = "url string, warc_ts timestamp_ntz, html binary, text string, lang string"

@@ -31,6 +31,13 @@ _STATE_SCHEMA = "seen boolean"
 def _first_seen_fn(
     key: Tuple[str], batches: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
+    if state.hasTimedOut:
+        # Idle-key eviction: actually drop the state row (a timed-out call
+        # that merely returns would leave the row alive forever).
+        state.remove()
+        for _ in batches:
+            pass
+        return
     if state.exists:
         # Hash already emitted in a previous micro-batch: drop everything.
         for _ in batches:

@@ -33,7 +33,9 @@ _DOMAIN_RE = r"^https?://([^/]+)"
 def _with_domain(pages: DataFrame, text_col: str) -> DataFrame:
     return pages.select(
         F.regexp_extract("url", _DOMAIN_RE, 1).alias("domain"),
-        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        # NULL text counts as 0 chars at the source so the streamed running
+        # total and the batch groupBy sum agree even for all-NULL domains.
+        F.coalesce(F.length(F.col(text_col)).cast("long"), F.lit(0)).alias("n_chars"),
         F.unix_timestamp("warc_ts").alias("ts"),
     )
 
@@ -41,6 +43,12 @@ def _with_domain(pages: DataFrame, text_col: str) -> DataFrame:
 def _domain_stats_fn(
     key: Tuple[str], batches: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
+    if state.hasTimedOut:
+        # Idle-domain eviction: drop the state row, emit nothing.
+        state.remove()
+        for _ in batches:
+            pass
+        return
     n_docs, total_chars, first_ts, last_ts = (
         state.get if state.exists else (0, 0, None, None)
     )
@@ -51,9 +59,11 @@ def _domain_stats_fn(
         seen_any = True
         n_docs += len(batch)
         total_chars += int(batch["n_chars"].fillna(0).sum())
-        ts_min, ts_max = int(batch["ts"].min()), int(batch["ts"].max())
-        first_ts = ts_min if first_ts is None else min(first_ts, ts_min)
-        last_ts = ts_max if last_ts is None else max(last_ts, ts_max)
+        ts = batch["ts"].dropna()  # null warc_ts rows count but carry no time
+        if len(ts):
+            ts_min, ts_max = int(ts.min()), int(ts.max())
+            first_ts = ts_min if first_ts is None else min(first_ts, ts_min)
+            last_ts = ts_max if last_ts is None else max(last_ts, ts_max)
     if not seen_any:
         return
     state.update((n_docs, total_chars, first_ts, last_ts))
