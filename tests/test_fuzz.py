@@ -83,3 +83,47 @@ def test_candidate_hrefs_total(href):
     cands = candidate_hrefs(href)
     assert isinstance(cands, list)
     assert all(isinstance(c, str) for c in cands)
+
+
+def test_self_closing_requires_contiguous_slash():
+    """'<div / >' is a plain start tag (stdlib: only end == '/>' self-closes)."""
+    from wpextract_spark.htmlkit.dom import parse_html
+
+    doc = parse_html("<a / >text</a>")
+    a = doc.find("a")
+    assert a.get_text() == "text"
+
+
+def test_junk_style_close_stays_in_rawtext():
+    """A junk close like </style x='y'> does not end raw-text mode; an
+    unterminated style swallows to end of input (stdlib parity)."""
+    from wpextract_spark.htmlkit.dom import parse_html
+
+    doc = parse_html("<style>abc</style x='y'>def<p>gone</p>")
+    assert doc.find("p") is None  # everything stayed inside the style
+    doc2 = parse_html("<style>abc</style >def<p>kept</p>")
+    assert doc2.find("p").get_text() == "kept"
+
+
+def test_head_truncation_ignores_header_tag():
+    """head_only truncation must not cut at '</header'."""
+    from wpextract_spark.htmlkit.dom import parse_html
+
+    html = (
+        '<html><head><link rel="canonical" href="https://x.org/p/"></head-missing'
+        "<body><header>big body</header>" + "<p>junk</p>" * 5 + "</body></html>"
+    )
+    # no </head>: must cut at <body>, not inside </header>
+    doc = parse_html(html, head_only=True)
+    assert doc.find("header") is None
+
+
+def test_attribute_selector_values_with_space_and_gt():
+    """Quoted attribute values containing ' ' or '>' are literal, not
+    combinators."""
+    from wpextract_spark.htmlkit.dom import parse_html
+
+    doc = parse_html('<div><img alt="a > b"/><img alt="a b"/><img alt="c"/></div>')
+    assert len(doc.select('[alt="a > b"]')) == 1
+    assert len(doc.select('[alt="a b"]')) == 1
+    assert len(doc.select('div > [alt="c"]')) == 1

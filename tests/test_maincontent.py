@@ -76,3 +76,17 @@ def test_plain_body_falls_back_to_body():
     best = select_main_container(doc)
     assert best is not None and best.name == "body"
     assert ARTICLE in extract_main_content(doc)
+
+
+def test_negative_ancestor_candidates_excluded(spark=None):
+    """A text-rich div nested inside footer must not beat the real article."""
+    from wpextract_spark.htmlkit.dom import parse_html
+    from wpextract_spark.kernel.maincontent import extract_main_content
+
+    html = (
+        "<html><body><article><p>the real article text of the page</p></article>"
+        "<footer><div><p>"
+        + "long legal boilerplate text repeated " * 20
+        + "</p></div></footer></body></html>"
+    )
+    assert extract_main_content(parse_html(html)) == "the real article text of the page"

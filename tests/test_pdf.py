@@ -149,3 +149,42 @@ def test_stream_interior_cannot_shadow_objects():
     text, n_pages = extract_pdf_text(bytes(out))
     assert n_pages == 1
     assert text == "REAL"
+
+
+def test_objstm_and_pageless_pdfs_quarantined():
+    """PDF 1.5 object-stream documents (and any PDF with no reachable Page
+    objects) must raise, never silently return ('', 0)."""
+    import pytest
+    import zlib
+
+    from wpextract_spark.kernel.pdf import PdfParseError, extract_pdf_text
+
+    packed = zlib.compress(b"<< /Type /Page >>")
+    objstm = (
+        b"%PDF-1.5\n1 0 obj\n<< /Type /ObjStm /N 1 /Length "
+        + str(len(packed)).encode()
+        + b" >>\nstream\n"
+        + packed
+        + b"\nendstream\nendobj\n"
+    )
+    with pytest.raises(PdfParseError):
+        extract_pdf_text(objstm)
+
+    pageless = b"%PDF-1.4\n1 0 obj\n<< /Type /Catalog >>\nendobj\n%%EOF\n"
+    with pytest.raises(PdfParseError):
+        extract_pdf_text(pageless)
+
+
+def test_trailer_encrypt_rejected():
+    """/Encrypt lives in the trailer dict of classic PDFs — must be caught."""
+    import pytest
+
+    from wpextract_spark.kernel.pdf import PdfParseError, extract_pdf_text
+    from wpextract_spark.sources.pdfgen import build_pdf
+
+    pdf = build_pdf(["secret"])
+    patched = pdf.replace(
+        b"trailer\n<<", b"trailer\n<< /Encrypt 9 0 R", 1
+    )
+    with pytest.raises(PdfParseError, match="encrypted"):
+        extract_pdf_text(patched)

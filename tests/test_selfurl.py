@@ -74,3 +74,16 @@ def test_get_og_url(file, exp_out):
 def test_extract_self_url(file, exp_out, head_only):
     # head_only exercises the strainer-analog fast path used by the crawl stage.
     assert extract_self_url(_doc(file, head_only=head_only)) == exp_out
+
+
+def test_malformed_ipv6_canonical_falls_back_to_og_url():
+    """A ValueError-raising canonical href (bad IPv6 bracket host) must not
+    abort extraction — the og:url fallback still runs."""
+    from wpextract_spark.htmlkit.dom import parse_html
+    from wpextract_spark.kernel.selfurl import extract_self_url
+
+    html = (
+        '<html><head><link rel="canonical" href="http://[bad/x">'
+        '<meta property="og:url" content="https://site.com/p"/></head></html>'
+    )
+    assert extract_self_url(parse_html(html, head_only=True)) == "https://site.com/p"

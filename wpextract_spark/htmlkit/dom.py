@@ -22,6 +22,7 @@ object ever crosses a Spark stage boundary.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterator
 from html.parser import HTMLParser
 from typing import Optional, Union
@@ -437,13 +438,17 @@ def parse_html_stdlib(html: Union[str, bytes], head_only: bool = False) -> Docum
     return builder.root
 
 
+_HEAD_CLOSE_RE = re.compile(r"</head\s*>", re.IGNORECASE)
+
+
 def _truncate_to_head(html: str) -> str:
-    lower = html.lower()
-    cut = lower.find("</head")
-    if cut != -1:
-        return html[: cut + len("</head>")]
+    # A real close tag only — a bare find("</head") would false-match the
+    # prefix of "</header>" and cut mid-body.
+    m = _HEAD_CLOSE_RE.search(html)
+    if m is not None:
+        return html[: m.end()]
     # No head close tag: a <body> open tag also ends the head.
-    cut = lower.find("<body")
+    cut = html.lower().find("<body")
     if cut != -1:
         return html[:cut]
     return html

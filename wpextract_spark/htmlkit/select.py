@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass, field
+from functools import lru_cache
 from typing import Optional
 
 from wpextract_spark.htmlkit.dom import Tag
@@ -86,14 +87,56 @@ def _parse_compound(text: str) -> _Compound:
     )
 
 
-def _parse_selector(selector: str) -> list[tuple[str, _Compound]]:
-    """Parse into a list of (combinator, compound); the first combinator is
-    always the descendant combinator relative to the context node."""
-    # Normalize child combinators so they split into their own tokens.
-    tokens = selector.replace(">", " > ").split()
+def _split_selector(selector: str) -> list[str]:
+    """Split into compound tokens and ``'>'`` combinator markers.
+
+    Whitespace and ``>`` inside ``[...]`` — including quoted attribute
+    values like ``[alt="a > b"]`` — are literal, so this is a small scanner
+    rather than a str.split (which would mangle them)."""
+    tokens: list[str] = []
+    buf: list[str] = []
+    depth = 0
+    quote: Optional[str] = None
+    for ch in selector:
+        if quote is not None:
+            buf.append(ch)
+            if ch == quote:
+                quote = None
+        elif ch in "\"'":
+            buf.append(ch)
+            quote = ch
+        elif ch == "[":
+            depth += 1
+            buf.append(ch)
+        elif ch == "]":
+            depth = max(depth - 1, 0)
+            buf.append(ch)
+        elif depth == 0 and ch == ">":
+            if buf:
+                tokens.append("".join(buf))
+                buf = []
+            tokens.append(">")
+        elif depth == 0 and ch.isspace():
+            if buf:
+                tokens.append("".join(buf))
+                buf = []
+        else:
+            buf.append(ch)
+    if buf:
+        tokens.append("".join(buf))
+    return tokens
+
+
+@lru_cache(maxsize=512)
+def _parse_selector(selector: str) -> tuple[tuple[str, _Compound], ...]:
+    """Parse into (combinator, compound) pairs; the first combinator is
+    always the descendant combinator relative to the context node.
+
+    Memoized: the picker UDFs evaluate the same constant selector strings
+    once per document across the whole corpus."""
     parts: list[tuple[str, _Compound]] = []
     combinator = " "
-    for token in tokens:
+    for token in _split_selector(selector):
         if token == ">":
             if not parts:
                 raise SelectorError(f"Selector cannot start with '>': {selector!r}")
@@ -105,7 +148,7 @@ def _parse_selector(selector: str) -> list[tuple[str, _Compound]]:
         raise SelectorError(f"Dangling '>' in selector: {selector!r}")
     if not parts:
         raise SelectorError(f"Empty selector: {selector!r}")
-    return parts
+    return tuple(parts)
 
 
 def _classes_of(tag: Tag) -> frozenset[str]:

@@ -80,9 +80,12 @@ _COMMENTCLOSE = re.compile(r"--\s*>")
 _DECLNAME = re.compile(r"[a-zA-Z][-_.a-zA-Z0-9]*\s*")
 _MARKEDCLOSE = re.compile(r"]\s*]\s*>")
 _MSMARKEDCLOSE = re.compile(r"]\s*>")
+# Raw-text close patterns — exactly the stdlib's set_cdata_mode pattern
+# (r'</\s*%s\s*>' with re.I): a junk close like '</style x=y>' does NOT end
+# raw-text mode, and unterminated raw text swallows to end of input.
 _CDATA_CLOSE = {
-    "script": re.compile(r"</\s*script", re.IGNORECASE),
-    "style": re.compile(r"</\s*style", re.IGNORECASE),
+    "script": re.compile(r"</\s*script\s*>", re.IGNORECASE),
+    "style": re.compile(r"</\s*style\s*>", re.IGNORECASE),
 }
 _ASCII_LETTERS = frozenset("abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ")
 
@@ -165,34 +168,17 @@ def _slow_starttag(sink, rawdata: str, i: int) -> int:
 
 def _cdata(sink, rawdata: str, i: int, elem: str) -> int:
     """script/style raw-text content mode. Text is emitted verbatim (no
-    charref conversion) until a matching end tag; content after an unclosed
-    script/style is swallowed, exactly like the stdlib's cdata-mode break."""
-    close_re = _CDATA_CLOSE[elem]
-    n = len(rawdata)
-    while i < n:
-        m = close_re.search(rawdata, i)
-        if m is None:
-            return n  # unterminated: remaining data is dropped
-        j = m.start()
-        if i < j:
-            sink.handle_data(rawdata[i:j])
-        i = j
-        gt = rawdata.find(">", i + 1)
-        if gt < 0:
-            k = rawdata.find("<", i + 1)
-            if k < 0:
-                k = i + 1
-            sink.handle_data(rawdata[i:k])
-            i = k
-            continue
-        em = _ENDTAGFIND.match(rawdata, i)
-        if em is not None and em.group(1).lower() == elem:
-            sink.handle_endtag(elem)
-            return em.end()
-        # A non-matching end tag is character data; stay in raw-text mode.
-        sink.handle_data(rawdata[i : gt + 1])
-        i = gt + 1
-    return n
+    charref conversion) until a PROPER matching end tag (``</elem\\s*>``);
+    a junk close like ``</style x=y>`` does not end raw-text mode, and
+    everything after an unclosed script/style is swallowed — exactly the
+    stdlib's cdata-mode semantics."""
+    m = _CDATA_CLOSE[elem].search(rawdata, i)
+    if m is None:
+        return len(rawdata)  # unterminated: remaining data is dropped
+    if i < m.start():
+        sink.handle_data(rawdata[i : m.start()])
+    sink.handle_endtag(elem)
+    return m.end()
 
 
 def _parse_endtag(sink, rawdata: str, i: int) -> int:
@@ -272,7 +258,9 @@ def fast_feed(sink, rawdata: str) -> None:
                     i = m.end()
                     if tag in _CDATA_CLOSE:
                         i = _cdata(sink, rawdata, i, tag)
-                elif stripped == "/":
+                elif stripped == "/" and attrstr.endswith("/"):
+                    # Self-closing ONLY when the slash is contiguous with '>'
+                    # (stdlib: end == '/>'); '<div / >' is a plain start tag.
                     sink.handle_startendtag(g("start").lower(), {})
                     i = m.end()
                 else:

@@ -31,9 +31,14 @@ def sniff_wav(payload: bytes) -> Optional[Tuple[str, int, int, int, float]]:
         (chunk_size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
         body = pos + 8
         if chunk_id == b"fmt " and body + 16 <= n:
-            _fmt, n_channels, sample_rate, _byte_rate, block_align = struct.unpack(
+            audio_fmt, n_channels, sample_rate, _byte_rate, block_align = struct.unpack(
                 "<HHIIH", payload[body : body + 14]
             )
+            if audio_fmt not in (1, 3):
+                # Not PCM / IEEE-float: data_size // block_align would be
+                # wrong for compressed formats (a block encodes many
+                # samples) — decline rather than report ~4x-off durations.
+                return None
         elif chunk_id == b"data":
             data_size = chunk_size
         if sample_rate is not None and data_size is not None:

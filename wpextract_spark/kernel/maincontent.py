@@ -70,12 +70,27 @@ def _text_stats(root: Tag) -> dict[int, tuple[int, int]]:
 
 
 def select_main_container(doc: Tag) -> Optional[Tag]:
-    """The best-scoring candidate container, or None for an empty page."""
+    """The best-scoring candidate container, or None for an empty page.
+
+    Candidates inside a :data:`NEGATIVE_TAGS` subtree are excluded outright:
+    the penalty applies at the boilerplate element's parent edge, so a
+    text-rich div nested *inside* footer/nav would otherwise score with
+    clean stats and win over the real article.
+    """
     stats = _text_stats(doc)
     best: Optional[Tag] = None
     best_score = 0.0
     for tag in doc.iter_tags():
         if tag.name not in CANDIDATE_TAGS:
+            continue
+        ancestor = tag.parent
+        inside_negative = False
+        while ancestor is not None:
+            if isinstance(ancestor, Tag) and ancestor.name in NEGATIVE_TAGS:
+                inside_negative = True
+                break
+            ancestor = ancestor.parent
+        if inside_negative:
             continue
         text_len, link_len = stats[id(tag)]
         if text_len <= 0:

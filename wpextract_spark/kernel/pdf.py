@@ -257,8 +257,29 @@ class _Pdf:
         if not self.objects:
             raise PdfParseError("no objects found")
         for value, _ in self.objects.values():
+            if isinstance(value, dict):
+                if "Encrypt" in value:
+                    raise PdfParseError("encrypted PDF not supported")
+                if str(value.get("Type", "")) == "ObjStm":
+                    # PDF 1.5+ compressed object streams hold the page tree
+                    # inside a Flate-packed stream this parser does not
+                    # unpack: raising routes the document to quarantine
+                    # instead of silently extracting nothing.
+                    raise PdfParseError("object streams (ObjStm) not supported")
+        # /Encrypt normally lives in the TRAILER dict (not an 'N G obj'
+        # body object), which the body scan above never sees.
+        pos = 0
+        while True:
+            t = data.find(b"trailer", pos)
+            if t < 0:
+                break
+            try:
+                value, _ = parse_value(data, _skip_ws(data, t + 7))
+            except PdfParseError:
+                value = None
             if isinstance(value, dict) and "Encrypt" in value:
                 raise PdfParseError("encrypted PDF not supported")
+            pos = t + 7
 
     def resolve(self, value: Any) -> Any:
         seen = 0
@@ -386,6 +407,11 @@ def extract_pdf_text(data: Union[bytes, bytearray]) -> tuple[str, int]:
     pdf = _Pdf(bytes(data))
     page_texts = []
     pages = pdf.pages()
+    if not pages:
+        # A structurally valid PDF with no reachable Page objects means the
+        # page tree lives somewhere this parser cannot see — raise rather
+        # than silently returning ('', 0).
+        raise PdfParseError("no page objects found")
     for page in pages:
         contents = pdf.resolve(page.get("Contents"))
         refs = page.get("Contents")

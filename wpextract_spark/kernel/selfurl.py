@@ -14,7 +14,10 @@ from wpextract_spark.htmlkit.dom import Document
 
 
 def _is_url_valid(url: str) -> bool:
-    parsed = urlparse(url)
+    try:
+        parsed = urlparse(url)
+    except ValueError:  # e.g. malformed IPv6 bracket host — total, like the
+        return False    # sibling kernels; lets the og:url fallback still run
     return bool(parsed.scheme) and bool(parsed.netloc)
 
 
