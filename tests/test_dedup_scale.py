@@ -154,3 +154,39 @@ def test_lang_id_whitespace_only_text(spark):
     )
     oracle = {r[0]: r[1] for r in con.execute(_oracle_lang_id()).fetchall()}
     assert oracle == got
+
+
+def test_short_docs_dont_kill_ngram_jaccard(spark):
+    """Docs with fewer than n words yield no grams — they must not abort the
+    stage (sequence(0, negative) descends into an invalid slice)."""
+    from wpextract_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, ""), (3, "one two three four same words here"),
+         (4, "one two three four same words here")],
+        "doc_id long, text string",
+    )
+    rows = ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    assert [(r["id_a"], r["id_b"]) for r in rows] == [(3, 4)]
+
+
+def test_embedding_near_dups_empty_input(spark):
+    from wpextract_spark.operators.similarity import embedding_near_dup_pairs
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    out = embedding_near_dup_pairs(empty, threshold=0.5)
+    assert out.count() == 0
+    assert out.columns == ["id_a", "id_b", "cos_sim"]
+
+
+def test_salted_join_rejects_right_preserving_joins(spark):
+    import pytest
+
+    from wpextract_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame([(1, "x")], "k long, v string")
+    right = spark.createDataFrame([(2, "y")], "k long, w string")
+    with pytest.raises(ValueError, match="left-preserving"):
+        salted_join(left, right, ["k"], how="full")
+    # left join: unmatched left row survives exactly once
+    assert salted_join(left, right, ["k"], how="left").count() == 1

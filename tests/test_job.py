@@ -93,3 +93,23 @@ def test_pathological_doc_quarantined(spark, tmp_path):
     assert m.agg(F.sum("n_errors")).first()[0] == 1
     # the ten good docs extracted normally
     assert out.where(F.col("content.text").isNotNull()).count() == 10
+
+
+def test_empty_chunk_commits_and_resume_skips_it(spark, tmp_path):
+    """A chunk that selects zero pages still writes a commit row, so resume
+    never re-runs it."""
+    from wpextract_spark.plans.job import ResumableExtractJob
+    from wpextract_spark.sources.synth import generate_pages
+
+    # 1 page, many chunks: most chunks are empty.
+    pages = generate_pages(spark, n_pages=1, seed=9, partitions=1)
+    job = ResumableExtractJob(spark, pages, str(tmp_path / "out"), n_chunks=4,
+                              partitions_per_chunk=1)
+    first = job.run()
+    assert len(first) == 4 and not any(r.skipped for r in first)
+    assert job.completed_chunks() == {0, 1, 2, 3}
+    second = job.run(resume=True)
+    assert all(r.skipped for r in second)
+    # output keeps only corpus columns (no chunk partition-discovery column)
+    assert "chunk" not in job.output().columns
+    assert job.output().count() == 1

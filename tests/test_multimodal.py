@@ -57,3 +57,24 @@ def test_resize_rewrites_meta_and_bounds_payload(media):
 def test_real_decode_is_explicit_stub():
     with pytest.raises(NotImplementedError):
         _real_decode(b"\x00")
+
+
+def test_frame_sample_nan_duration_quarantined(spark):
+    """NaN duration must not kill the task (astype(int) on non-finite)."""
+    from wpextract_spark.operators.multimodal import frame_sample_stub
+
+    rows = [
+        (1, "video", b"0123456789abcdef" * 4,
+         {"mime": "video/x", "width": None, "height": None, "duration_s": float("nan")}),
+        (2, "video", b"0123456789abcdef" * 4,
+         {"mime": "video/x", "width": None, "height": None, "duration_s": 2.0}),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, payload binary, "
+        "meta struct<mime:string, width:int, height:int, duration_s:double>",
+    )
+    out = frame_sample_stub(media, every_s=1.0).groupBy("media_id").count().collect()
+    counts = {r["media_id"]: r["count"] for r in out}
+    assert counts[1] == 1  # NaN -> quarantined to a single frame
+    assert counts[2] == 2

@@ -22,7 +22,10 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Split pattern for whitespace tokenization, shared with the oracles.
-WS = r"\s+"
+#: Spelled as an explicit class because `\s` is NOT engine-identical: Java's
+#: includes \x0B (vertical tab) while RE2's (DuckDB) excludes it — this class
+#: is exactly Java's \s and behaves identically in Java, RE2, and Python.
+WS = r"[ \t\n\x0B\f\r]+"
 
 
 def _words(text_col: str):
@@ -128,12 +131,20 @@ def ngram_jaccard_pairs(
     Jaccard verify.
     """
     words = _words(text_col)
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(words) - n),
-            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
-        )
-    )
+    # Docs with fewer than n words yield NO grams: sequence(0, size-n) with
+    # size < n would DESCEND (0, -1, ...) and slice(words, 0, n) aborts the
+    # whole stage — one short/empty doc must not kill a corpus-scale job.
+    # (DuckDB's range() is already empty for negative stops, so the oracle
+    # agrees.)
+    grams = F.when(
+        F.size(words) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(words) - n),
+                lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     # Explode the gram expression INLINE: explode over a separately projected
     # alias column measures ~10x slower here (the generate re-evaluates the
     # projected array), and a size()>0 pre-filter is unnecessary — explode

@@ -220,9 +220,13 @@ def pdf_build_udf():
 
     @F.pandas_udf("binary")
     def _build(text: pd.Series, page2: pd.Series) -> pd.Series:
+        # Null first page -> null payload; null later pages are dropped
+        # rather than crashing the task on one bad row.
         return pd.Series(
             [
-                build_pdf([a, b]) if a is not None else None
+                build_pdf([p for p in (a, b) if p is not None])
+                if a is not None
+                else None
                 for a, b in zip(text, page2)
             ],
             dtype="object",

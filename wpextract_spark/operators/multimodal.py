@@ -135,7 +135,15 @@ def frame_sample_stub(
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
             payloads = batch[payload_col]
-            duration = batch["meta"].map(lambda m: (m["duration_s"] if m else 0.0) or 0.0)
+            duration = pd.to_numeric(
+                batch["meta"].map(lambda m: (m["duration_s"] if m else 0.0) or 0.0),
+                errors="coerce",
+            )
+            # NaN/inf durations (unknown length from a real probe) quarantine
+            # to 1 frame, never a task-killing astype(int) on non-finite.
+            import numpy as np
+
+            duration = duration.replace([np.inf, -np.inf], np.nan).fillna(0.0)
             n_frames = (duration / every_s).astype(int).clip(lower=1)
             n_frames = n_frames.where(payloads.notna(), 0)
 

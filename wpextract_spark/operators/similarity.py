@@ -275,7 +275,14 @@ def embedding_near_dup_pairs(
     2`` pairs; capped buckets lose only pairs another set can still propose.
     Pass None to disable.
     """
-    probe_dim = embeddings.select(F.size(vec_col)).first()[0]
+    probe = embeddings.select(F.size(vec_col)).first()
+    if probe is None:  # empty input: zero pairs, not a driver crash
+        return embeddings.select(
+            F.col(id_col).alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            F.lit(0.0).alias("cos_sim"),
+        ).limit(0)
+    probe_dim = probe[0]
     vec = F.col(vec_col).cast("array<double>")
     bucket_cols = []
     for s in range(n_sets):

@@ -46,8 +46,19 @@ def salted_join(
     The hot key's rows spread over ``buckets`` reducers instead of one: left
     rows get a content-derived salt, right rows are exploded across every
     salt value, and the join keys on (key, salt). Output rows are identical
-    to ``left.join(right, on, how)``.
+    to ``left.join(right, on, how)`` for the supported ``how`` values.
+
+    Only left-preserving joins are supported: the right side is replicated
+    ``buckets`` times, so right/full(/right-anti) joins would emit every
+    unmatched right row once per salt bucket. Use the mirrored call (swap
+    sides, salt the other table) for those.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer", "semi",
+                   "leftsemi", "left_semi", "anti", "leftanti", "left_anti"):
+        raise ValueError(
+            f"salted_join supports left-preserving joins only, got how={how!r} "
+            "(right rows are replicated per salt bucket)"
+        )
     salted_left = with_salt(left, buckets)
     salted_right = right.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)]))

@@ -96,7 +96,8 @@ def lang_id_udf():
     import re as _re
 
     # ASCII whitespace explicitly (not str.split()'s Unicode set) so the SQL
-    # oracle's RE2 \s split has identical token boundaries.
+    # oracle's split on the same explicit class (queries.WS_SQL) has
+    # identical token boundaries.
     ascii_ws = _re.compile(r"[ \t\n\r\f\v]+")
 
     @F.pandas_udf(StringType())
@@ -171,9 +172,10 @@ def lang_id_ngram(
 
 
 #: BPE-ish pre-tokenization regex (contractions, letter runs, digit runs,
-#: punctuation runs, whitespace runs) — deliberately lookahead-free so the
-#: identical pattern runs in Java regex (Spark) and RE2 (DuckDB oracles).
-BPE_SPLIT_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s']+"
+#: punctuation runs) — deliberately lookahead-free AND \s-free so the
+#: identical pattern runs in Java regex (Spark) and RE2 (DuckDB oracles);
+#: `\s` itself diverges between the engines on \x0B.
+BPE_SPLIT_RE = r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \t\n\x0B\f\r']+"
 
 
 def bpe_token_stats(

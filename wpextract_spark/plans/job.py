@@ -143,6 +143,13 @@ class ResumableExtractJob:
             F.lit(wall_s).alias("wall_s"),
             F.lit(self.run_id).alias("run_id"),
         )
+        if lineage.isEmpty():
+            # A chunk that selected zero pages still needs a commit row —
+            # "complete iff it has metrics rows" would otherwise re-run the
+            # empty chunk on every resume, forever.
+            lineage = self.spark.createDataFrame(
+                [(chunk, -1, 0, 0, 0, 0, wall_s, self.run_id)], METRICS_SCHEMA
+            )
         # Append-only commit marker: one sub-directory per (run, chunk) so
         # concurrent metric writes never clobber each other.
         lineage.coalesce(1).write.mode("overwrite").parquet(
@@ -180,7 +187,9 @@ class ResumableExtractJob:
         return results
 
     def output(self) -> DataFrame:
-        """The extracted corpus written so far."""
+        """The extracted corpus written so far (url, content) — internal
+        bookkeeping columns and the chunk partition-discovery column are
+        dropped."""
         return self.spark.read.parquet(str(self.data_dir)).drop(
-            "partition_id", "_bytes_in"
+            "partition_id", "_bytes_in", "chunk"
         )

@@ -218,7 +218,12 @@ class SparkSiteExtractor:
             df = df.repartition(self.repartition_parse, F.xxhash64("link"))
         df = _apply_content_extract(df, safe("content.rendered"), "link")
         ef.df = df
-        derived = ["og_image_url", "link_locale", "title.text", "excerpt.text"]
+        # title.text/excerpt.text only exist when the *.rendered inputs do
+        # (same schema-presence gate as _load_media's derived list).
+        derived = ["og_image_url", "link_locale"] + [
+            c for c in ("title.text", "excerpt.text")
+            if ef.has(c.replace(".text", ".rendered"))
+        ]
         if translations_enabled:
             derived += ["language", "translations"]
         derived += ["content.text", "links.internal", "links.external", "embeds", "images"]
@@ -242,8 +247,9 @@ class SparkSiteExtractor:
             df = df.repartition(self.repartition_parse, F.xxhash64("link"))
         df = _apply_content_extract(df, safe("content.rendered"), "link")
         ef.df = df
-        derived = ["link_locale", "excerpt.text", "content.text",
-                   "links.internal", "links.external", "embeds", "images"]
+        derived = ["link_locale"] + (
+            ["excerpt.text"] if ef.has("excerpt.rendered") else []
+        ) + ["content.text", "links.internal", "links.external", "embeds", "images"]
         ef.export_columns = _export_order(ef, PAGES_EXPORT, derived)
         return ef
 

@@ -45,7 +45,17 @@ from wpextract_spark.operators.textstats import (
     token_stats,
 )
 
-WS_SQL = r"\s+"
+# Same explicit whitespace class as operators/dedup.py WS: `\s` diverges
+# between Java (includes \x0B) and RE2 (excludes it); this class is
+# engine-identical.
+WS_SQL = r"[ \t\n\x0B\f\r]+"
+
+# Python's Unicode \s / str.strip() whitespace set spelled as an RE2 class
+# (for oracles that restate Python-side squash/strip semantics).
+_PY_WS_CLS = (
+    r"\t\n\x{0b}\f\r\x{1c}-\x{1f} \x{85}\x{a0}\x{1680}"
+    r"\x{2000}-\x{200a}\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}"
+)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -70,11 +80,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def q_extract_text_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate strip invariant: wrapping text in <p> + excluded <table> +
-    comment boilerplate and extracting must give back exactly the text."""
+    comment boilerplate and extracting must give back exactly the
+    (whitespace-squashed) text. Text is HTML-escaped into the page so
+    '&'/'<'/'>' in a corpus can't break the embedding; the parser unescapes,
+    the kernel squashes, and the oracle applies the same squash in SQL."""
     docs = _t(spark, sf_dir, "documents")
+    escaped = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(F.col("text"), "&", "&amp;"), "<", "&lt;"),
+        ">",
+        "&gt;",
+    )
     html = F.concat(
         F.lit("<html><body><p>"),
-        F.col("text"),
+        escaped,
         F.lit("</p><table><tr><td>junk</td></tr></table><!-- c --></body></html>"),
     )
     url = F.concat(F.lit("https://example.org/doc-"), F.col("doc_id").cast("string"))
@@ -82,7 +100,14 @@ def q_extract_text_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(F.col("doc_id"), extracted["text"].alias("extracted_text"))
 
 
-ORACLE_EXTRACT_TEXT = "SELECT doc_id, text AS extracted_text FROM documents"
+ORACLE_EXTRACT_TEXT = rf"""
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(regexp_replace(text, '\n{{2,}}', chr(10), 'g'),
+                        '(?m)^[{_PY_WS_CLS}]+', '', 'g'),
+         '^[{_PY_WS_CLS}]+|[{_PY_WS_CLS}]+$', '', 'g') AS extracted_text
+FROM documents
+"""
 
 
 def q_extract_link_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -886,7 +911,7 @@ def _oracle_lang_id() -> str:
 WITH t AS (
   SELECT doc_id,
          CASE WHEN text IS NULL OR trim(text, {ws}) = '' THEN NULL
-              ELSE string_split_regex(trim(lower(text), {ws}), '\s+') END AS toks
+              ELSE string_split_regex(trim(lower(text), {ws}), '{WS_SQL}') END AS toks
   FROM documents),
 s AS (
   SELECT doc_id, toks,
@@ -1039,13 +1064,8 @@ def q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # squash_whitespace (functions/text.py:32) restated in SQL: collapse \n runs,
-# strip line-leading whitespace, trim ends. The character class spells out
-# Python's Unicode \s / str.strip() set explicitly — RE2's \s is ASCII-only
-# and would diverge on \x0b/NBSP/Unicode spaces.
-_PY_WS_CLS = (
-    r"\t\n\x{0b}\f\r\x{1c}-\x{1f} \x{85}\x{a0}\x{1680}"
-    r"\x{2000}-\x{200a}\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}"
-)
+# strip line-leading whitespace (the _PY_WS_CLS class — Python's Unicode \s),
+# trim ends.
 ORACLE_MAIN_CONTENT = rf"""
 SELECT doc_id,
        regexp_replace(
