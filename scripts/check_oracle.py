@@ -86,8 +86,7 @@ def main() -> int:
 
         sql = oracles.get(name)
         if sql is None:
-            status = "ROWS" if len(spark_rows) >= 0 else "FAIL"
-            print(f"{status}  {name}: rows={len(spark_rows)} (no oracle) [{elapsed:.1f}s]")
+            print(f"ROWS  {name}: rows={len(spark_rows)} (no oracle) [{elapsed:.1f}s]")
             continue
         try:
             cur = con.execute(sql)

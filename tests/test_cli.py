@@ -33,18 +33,29 @@ def test_cli_extract_golden_corpus(spark, tmp_path):
 
 
 def test_cli_out_dir_created_and_must_be_empty(tmp_path):
-    from wpextract_spark.cli import build_parser
+    """out_dir is validated/created at command time, NOT parse time — a
+    parse-time mkdir would leave a directory behind whenever another argument
+    failed validation."""
+    from wpextract_spark.cli import _empty_directory, build_parser, main
 
     parser = build_parser()
-    # Non-existent out dir: created by the parser callback.
     target = tmp_path / "fresh"
     args = parser.parse_args(["extract", str(DATA / "download_out"), str(target)])
-    assert target.is_dir() and args.out_dir == target
+    assert args.out_dir == target
+    assert not target.exists()  # parsing alone must not touch the filesystem
 
-    # Non-empty out dir: rejected (reference empty_directory semantics).
+    # The command-time callback creates it; a non-empty dir is rejected
+    # (reference empty_directory semantics) with argparse's exit code 2.
+    assert _empty_directory(str(target)) == target and target.is_dir()
     (target / "stale.json").write_text("{}")
+    rc = main(["extract", str(DATA / "download_out"), str(target)])
+    assert rc == 2
+
+    # A failed json_root validation must not create out_dir as a side effect.
+    ghost = tmp_path / "ghost"
     with pytest.raises(SystemExit):
-        parser.parse_args(["extract", str(DATA / "download_out"), str(target)])
+        parser.parse_args(["extract", str(tmp_path / "nope"), str(ghost)])
+    assert not ghost.exists()
 
 
 def test_cli_json_root_must_exist(tmp_path):

@@ -40,7 +40,7 @@ def _drain_stateful(spark, query, out_dir, expected_rows, timeout_s=120):
 def test_stream_matches_batch_and_resumes(spark, tmp_path):
     pages = _write_batch(spark, tmp_path, 60, seed=3, name="a")
 
-    q = run_file_stream(
+    q, _ = run_file_stream(
         spark,
         str(tmp_path / "in"),
         str(tmp_path / "out"),
@@ -62,7 +62,7 @@ def test_stream_matches_batch_and_resumes(spark, tmp_path):
     generate_pages(spark, n_pages=25, seed=99, partitions=1).write.mode("append").parquet(
         str(tmp_path / "in")
     )
-    q2 = run_file_stream(
+    q2, _ = run_file_stream(
         spark,
         str(tmp_path / "in"),
         str(tmp_path / "out"),
@@ -196,3 +196,29 @@ def test_stateful_domain_stats(spark, tmp_path):
         assert (g["n_docs"], g["total_chars"]) == (r["n_docs"], r["total_chars"]), r["domain"]
         assert (g["first_ts"], g["last_ts"]) == (r["first_ts"], r["last_ts"])
     assert set(got) == {r["domain"] for r in ref.collect()}
+
+
+def test_backfill_metrics_are_exact(spark, tmp_path):
+    """availableNow backfill metrics must cover EVERY window (append-mode
+    streaming would silently drop the watermark tail) and match the batch
+    windowed aggregation exactly."""
+    from wpextract_spark.streaming.extract_stream import (
+        extract_pages_stream,
+        run_file_stream,
+        windowed_ingest_metrics,
+    )
+
+    pages = _write_batch(spark, tmp_path, 50, seed=13, name="a")
+    q, mq = run_file_stream(
+        spark,
+        str(tmp_path / "in"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        available_now=True,
+        metrics_dir=str(tmp_path / "metrics"),
+    )
+    assert mq is None  # backfill mode: metrics computed exactly, no 2nd query
+    got = spark.read.parquet(str(tmp_path / "metrics"))
+    assert got.agg({"n_docs": "sum"}).first()[0] == 50
+    ref = windowed_ingest_metrics(extract_pages_stream(pages))
+    assert got.count() == ref.count()  # every window present, incl. the tail

@@ -65,7 +65,10 @@ def build_parser() -> argparse.ArgumentParser:
         ),
     )
     ex.add_argument("json_root", type=_directory)
-    ex.add_argument("out_dir", type=_empty_directory, metavar="DIRECTORY")
+    # out_dir is validated/created in cmd_extract, AFTER all arguments parse:
+    # a parse-time mkdir would leave a directory behind whenever any other
+    # argument fails validation.
+    ex.add_argument("out_dir", type=Path, metavar="DIRECTORY")
     ex.add_argument(
         "-S", "--scrape-root", type=_directory, default=None,
         help="Root directory of an HTML scrape",
@@ -106,6 +109,11 @@ def _setup_logging(verbose: bool, log_path: Path | None) -> None:
 
 
 def cmd_extract(args: argparse.Namespace) -> int:
+    try:
+        out_dir = _empty_directory(str(args.out_dir))
+    except argparse.ArgumentTypeError as e:
+        print(f"error: argument DIRECTORY: {e}", file=sys.stderr)
+        return 2
     _setup_logging(args.verbose, args.log)
 
     from wpextract_spark.plans.pipeline import SparkSiteExtractor
@@ -119,10 +127,16 @@ def cmd_extract(args: argparse.Namespace) -> int:
         json_prefix=args.json_prefix,
     )
     extractor.extract()
-    counts = extractor.export(args.out_dir)
+    counts = extractor.export(out_dir)
     if args.tables:
-        extractor.export_tables(args.out_dir / "tables")
-    print(json.dumps({"out_dir": str(args.out_dir), "counts": counts}))
+        extractor.export_tables(out_dir / "tables")
+    summary = json.dumps({"out_dir": str(out_dir), "counts": counts})
+    if args.log is not None:
+        # --log promises suppressed stdout (reference behavior): the summary
+        # goes to the log file instead.
+        logging.getLogger(__name__).info("extract summary: %s", summary)
+    else:
+        print(summary)
     return 0
 
 

@@ -198,7 +198,9 @@ def parse_tag(tag: str) -> Optional[ParsedTag]:
     if not _ALPHA.match(lang):
         return None
     if len(lang) == 2:
-        if lang not in _ISO639_1:
+        # Deprecated codes (iw/in/ji/jw/mo/sh) are registered tags: langcodes'
+        # tag_is_valid accepts them, and normalize_tag later replaces them.
+        if lang not in _ISO639_1 and lang not in _DEPRECATED:
             return None
     elif len(lang) == 3:
         if not (lang in _ISO639_3_TO_1 or lang in _ISO639_3_VALID or lang in _MACROLANGUAGE):

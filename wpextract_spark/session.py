@@ -18,10 +18,10 @@ ARROW_BATCH_ROWS = 512
 
 def default_builder(app_name: str = "wpextract-spark", master: str | None = None):
     builder = SparkSession.builder.appName(app_name)
-    if master:
-        builder = builder.master(master)
-    elif not os.environ.get("SPARK_MASTER"):
-        builder = builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]")
+    master = master or os.environ.get("SPARK_MASTER")
+    builder = builder.master(
+        master if master else f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
+    )
     return (
         builder.config("spark.sql.adaptive.enabled", "true")
         # Pre-warming daemon: forked workers inherit pandas/pyarrow/kernel

@@ -40,6 +40,10 @@ def _first_seen_fn(
         return
     if state.exists:
         # Hash already emitted in a previous micro-batch: drop everything.
+        # Re-arm the eviction timeout — GroupState timeouts must be set on
+        # EVERY invocation or the row's timeout is cleared and it lives
+        # forever (the key just proved it's not idle, so extend it).
+        state.setTimeoutDuration(3600 * 1000)
         for _ in batches:
             pass
         return
@@ -49,11 +53,15 @@ def _first_seen_fn(
             continue
         # Earliest (warc_ts, url) wins across ALL chunks of the micro-batch
         # (a key's rows may arrive split over several DataFrames).
-        head = batch.sort_values(["warc_ts", "url"]).head(1)
+        # na_position='first' matches the batch reference's Spark ascending
+        # sort, where NULL timestamps order before every real one.
+        head = batch.sort_values(["warc_ts", "url"], na_position="first").head(1)
         if first is None:
             first = head
         else:
-            first = pd.concat([first, head]).sort_values(["warc_ts", "url"]).head(1)
+            first = pd.concat([first, head]).sort_values(
+                ["warc_ts", "url"], na_position="first"
+            ).head(1)
     if first is None:
         return
     state.update((True,))

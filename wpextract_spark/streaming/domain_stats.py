@@ -27,12 +27,14 @@ DOMAIN_STATS_SCHEMA = (
 )
 _STATE_SCHEMA = "n_docs long, total_chars long, first_ts long, last_ts long"
 
-_DOMAIN_RE = r"^https?://([^/]+)"
+_DOMAIN_RE = r"(?i)^https?://([^/]+)"
 
 
 def _with_domain(pages: DataFrame, text_col: str) -> DataFrame:
     return pages.select(
-        F.regexp_extract("url", _DOMAIN_RE, 1).alias("domain"),
+        # Case-insensitive scheme match + lowercased host: 'HTTP://Example.com'
+        # and 'http://example.com' are the same domain, not '' and two keys.
+        F.lower(F.regexp_extract("url", _DOMAIN_RE, 1)).alias("domain"),
         # NULL text counts as 0 chars at the source so the streamed running
         # total and the batch groupBy sum agree even for all-NULL domains.
         F.coalesce(F.length(F.col(text_col)).cast("long"), F.lit(0)).alias("n_chars"),

@@ -87,7 +87,16 @@ def run_file_stream(
     directory gives exactly-once file-source progress across restarts — the
     streaming analog of ``ResumableExtractJob``'s chunk metrics.
 
-    Returns the started StreamingQuery (caller awaits termination).
+    Metrics: in continuous mode a second streaming sink writes watermark-
+    closed windows (append mode — windows newer than max event time minus
+    the watermark stay in state until later data closes them). In
+    availableNow backfill mode that would silently drop every tail window,
+    so the metrics are instead computed EXACTLY with one batch windowed
+    aggregation over the drained output after the stream finishes.
+
+    Returns ``(query, metrics_query)`` — ``metrics_query`` is the second
+    StreamingQuery handle (continuous mode with ``metrics_dir``) or None,
+    so callers can await/stop it rather than leaking a running query.
     """
     pages = spark.readStream.schema(PAGES_SCHEMA).parquet(input_dir)
     extracted = extract_pages_stream(pages)
@@ -100,19 +109,21 @@ def run_file_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     query = writer.start()
+    metrics_query = None
     if metrics_dir is not None:
-        # Second sink off the same source: per-window counters (append mode —
-        # a window emits once its watermark passes).
-        m = windowed_ingest_metrics(extract_pages_stream(
-            spark.readStream.schema(PAGES_SCHEMA).parquet(input_dir)
-        ))
-        mw = (
-            m.writeStream.format("parquet")
-            .option("path", metrics_dir)
-            .option("checkpointLocation", checkpoint_dir + "_metrics")
-            .outputMode("append")
-        )
         if available_now:
-            mw = mw.trigger(availableNow=True)
-        mw.start()
-    return query
+            query.awaitTermination()
+            out = spark.read.parquet(output_dir)
+            windowed_ingest_metrics(out).write.mode("overwrite").parquet(metrics_dir)
+        else:
+            m = windowed_ingest_metrics(extract_pages_stream(
+                spark.readStream.schema(PAGES_SCHEMA).parquet(input_dir)
+            ))
+            metrics_query = (
+                m.writeStream.format("parquet")
+                .option("path", metrics_dir)
+                .option("checkpointLocation", checkpoint_dir + "_metrics")
+                .outputMode("append")
+                .start()
+            )
+    return query, metrics_query
