@@ -1,0 +1,97 @@
+"""Corpus-curation filter tests: Gopher repetition/quality rules, CCNet-style
+cross-document line dedup, and sequential PII scrubbing.
+
+Hand-computed expectations on tiny corpora pin the semantics the sf0.01
+oracle checks at scale (q_repetition_stats, q_gopher_quality, q_line_dedup,
+q_pii_scrub)."""
+
+import pytest
+
+from wpextract_spark.operators.corpusfilters import (
+    gopher_quality_flags,
+    line_dedup,
+    pii_scrub,
+    repetition_stats,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_repetition_stats_top_gram(spark):
+    # "a b a b a b c": 7 words, 3 distinct; top 2-gram "a b" x3 (len 3),
+    # top 3-gram "a b a" x2 vs "b a b" x2 -> tie broken by greatest gram.
+    df = _docs(spark, [(1, "a b a b a b c")])
+    row = repetition_stats(df).collect()[0]
+    assert row["n_words"] == 7
+    assert row["dup_word_frac"] == pytest.approx((7 - 3) / 7, abs=1e-6)
+    assert row["top2_gram_char_frac"] == pytest.approx(3 * 3 / 13, abs=1e-6)
+    assert row["top3_gram_char_frac"] == pytest.approx(2 * 5 / 13, abs=1e-6)
+
+
+def test_repetition_stats_short_doc_zero_fracs(spark):
+    # One word: no 2-grams/3-grams exist -> fractions are 0, not null.
+    row = repetition_stats(_docs(spark, [(1, "solo")])).collect()[0]
+    assert row["dup_word_frac"] == 0.0
+    assert row["top2_gram_char_frac"] == 0.0
+    assert row["top3_gram_char_frac"] == 0.0
+
+
+def test_gopher_quality_flags(spark):
+    good = " ".join(f"word{i}" for i in range(60))  # 60 words, mean len ~6
+    short = "too few words"
+    symbols = " ".join(["ok#"] * 60)  # symbol_ratio 1.0
+    out = {
+        r["doc_id"]: r
+        for r in gopher_quality_flags(
+            _docs(spark, [(1, good), (2, short), (3, symbols)])
+        ).collect()
+    }
+    assert out[1]["keep"] is True
+    assert out[2]["keep"] is False  # n_words < 50
+    assert out[2]["n_words"] == 3
+    assert out[3]["keep"] is False  # symbol ratio 1.0 > 0.1
+    assert out[3]["symbol_ratio"] == pytest.approx(1.0)
+    assert out[1]["alpha_word_frac"] == pytest.approx(1.0)
+
+
+def test_line_dedup_cross_document(spark):
+    # "All rights reserved" (case/whitespace-insensitive) appears in both
+    # docs -> dropped from both; unique lines survive in original order.
+    df = _docs(
+        spark,
+        [
+            (1, "intro one\nAll rights reserved\nbody one"),
+            (2, "body two\n  all rights reserved  "),
+        ],
+    )
+    out = {r["doc_id"]: r for r in line_dedup(df).collect()}
+    assert out[1]["text_clean"] == "intro one\nbody one"
+    assert out[1]["n_lines"] == 3 and out[1]["n_kept"] == 2
+    assert out[2]["text_clean"] == "body two"
+    assert out[2]["n_lines"] == 2 and out[2]["n_kept"] == 1
+
+
+def test_line_dedup_within_document(spark):
+    # A line repeated inside ONE doc also reaches min_count.
+    df = _docs(spark, [(1, "chorus\nverse\nchorus")])
+    row = line_dedup(df).collect()[0]
+    assert row["text_clean"] == "verse"
+    assert row["n_kept"] == 1
+
+
+def test_pii_scrub_sequential(spark):
+    text = "mail a.user+tag@example.com or 10.0.0.1 or +1 555 123 4567 end"
+    row = pii_scrub(_docs(spark, [(1, text)])).collect()[0]
+    assert row["text_scrubbed"] == "mail <EMAIL> or <IP> or <PHONE> end"
+    assert (row["n_emails"], row["n_ips"], row["n_phones"]) == (1, 1, 1)
+
+
+def test_pii_scrub_email_digits_not_double_counted(spark):
+    # The email's digit run must not survive to be counted as a phone.
+    text = "contact 12345678901@example.com please"
+    row = pii_scrub(_docs(spark, [(1, text)])).collect()[0]
+    assert row["n_emails"] == 1
+    assert row["n_phones"] == 0
+    assert row["text_scrubbed"] == "contact <EMAIL> please"

@@ -1,0 +1,255 @@
+"""Corpus-level training-data filters: repetition statistics, quality-rule
+flags, cross-document line deduplication, and PII scrubbing.
+
+These are the standard web-corpus curation passes applied between extraction
+and training (the MassiveText/Gopher repetition + quality rules, the
+C4 heuristics, CCNet's cross-document paragraph dedup). Everything here is
+built-in JVM expressions (whole-stage codegen, oracle-expressible):
+
+* per-document metrics are computed per-row with no shuffle;
+* n-gram mode and corpus line counts use explode -> groupBy, which partial-
+  aggregates map-side and shuffles keys that are either doc-local
+  ((doc_id, gram) — cardinality bounded by document length, no hot keys) or
+  corpus-wide but count-only (normalized line text — partial aggregation
+  collapses each partition's duplicates before the shuffle);
+* reassembly joins are keyed by doc_id (uniform) and eligible for AQE
+  broadcast when the deduplicated side is small.
+
+No pandas UDFs, no driver-side loops: each operator is a declarative plan
+Catalyst can push filters into and AQE can re-plan at runtime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from wpextract_spark.operators.dedup import WS
+
+#: Tracking query parameters dropped by URL canonicalization-style filters
+#: and the C4/Gopher rule constants below. Kept module-level so oracles can
+#: restate the identical values.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+
+#: PII patterns, applied in this order (emails first: their local parts would
+#: otherwise partially match the phone digit runs). Spelled to behave
+#: identically under Java regex (Spark) and RE2 (DuckDB oracle): no
+#: backreferences, no lookaround, explicit character classes.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b(\d{1,3}\.){3}\d{1,3}\b"
+PII_PHONE = r"\+?\d([ -]?\d){7,}"
+
+
+def _words(text_col: str) -> Column:
+    return F.split(F.trim(F.col(text_col)), WS)
+
+
+def repetition_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ns: tuple[int, ...] = (2, 3),
+) -> DataFrame:
+    """Gopher/MassiveText repetition metrics per document.
+
+    Output: ``(id, n_words, dup_word_frac, top{n}_gram_char_frac ...)``.
+    ``dup_word_frac`` is the fraction of word occurrences that repeat an
+    earlier word; ``top{n}_gram_char_frac`` is the fraction of the document's
+    characters covered by occurrences of its most frequent word n-gram
+    (``count * len(gram) / len(text)``), ties broken by the
+    lexicographically greatest gram so both engines pick the same one.
+
+    Scale: word stats are one per-row expression (no shuffle). The n-gram
+    mode is ONE posexplode over all requested n (grams tagged ``"n:..."``)
+    followed by two groupBys — (doc, gram) then doc — whose keys are
+    doc-local, so partial aggregation bounds every shuffle write by the
+    document count, not the gram count. The final join back to the per-row
+    stats is doc_id-keyed (uniform, AQE-broadcastable).
+    """
+    words = _words(text_col)
+    base = docs.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).alias("n_chars"),
+        words.alias("ws"),
+    ).select(
+        id_col,
+        "n_chars",
+        "ws",
+        F.size("ws").alias("n_words"),
+        F.size(F.array_distinct("ws")).alias("n_distinct"),
+    )
+
+    # All n-grams for every requested n, tagged "n:gram" so one explode and
+    # one aggregation tree serves every n. The lambda must be unary: transform
+    # passes the element index to any second parameter, so a `n=n` default
+    # would be silently overwritten with a Column.
+    def _gram_at(n: int):
+        return lambda i: F.concat(
+            F.lit(f"{n}:"), F.concat_ws(" ", F.slice(F.col("ws"), i, n))
+        )
+
+    tagged = None
+    for n in ns:
+        grams_n = F.when(
+            F.col("n_words") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.col("n_words") - (n - 1)), _gram_at(n)
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        tagged = grams_n if tagged is None else F.concat(tagged, grams_n)
+
+    ex = base.select(id_col, F.explode(tagged).alias("m"))
+    counts = ex.groupBy(id_col, "m").agg(F.count("*").alias("c"))
+    counts = counts.select(
+        id_col,
+        F.substring("m", 1, 1).alias("n"),
+        F.expr("substring(m, 3)").alias("gram"),
+        "c",
+    )
+    top_aggs = [
+        F.max(F.when(F.col("n") == str(n), F.struct("c", "gram"))).alias(f"top{n}")
+        for n in ns
+    ]
+    top = counts.groupBy(id_col).agg(*top_aggs)
+
+    out_cols = [
+        F.col(id_col),
+        F.col("n_words"),
+        F.round(
+            (F.col("n_words") - F.col("n_distinct"))
+            / F.greatest(F.col("n_words"), F.lit(1)),
+            6,
+        ).alias("dup_word_frac"),
+    ]
+    for n in ns:
+        frac = (
+            F.col(f"top{n}.c") * F.length(F.col(f"top{n}.gram"))
+        ) / F.greatest(F.col("n_chars"), F.lit(1))
+        out_cols.append(
+            F.round(F.coalesce(frac, F.lit(0.0)), 6).alias(f"top{n}_gram_char_frac")
+        )
+    return base.join(top, on=id_col, how="left").select(*out_cols)
+
+
+def gopher_quality_flags(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-rule quality flags: ``(id, n_words, mean_word_len,
+    alpha_word_frac, symbol_ratio, keep)``.
+
+    ``keep`` is the conjunction of the published MassiveText rules this
+    corpus can evaluate: word count in [50, 100k], mean word length in
+    [3, 10], >=80% of words contain a letter, <10% symbol(#/ellipsis)-to-word
+    ratio. Pure per-row JVM expressions — no shuffle, whole-stage codegen.
+    """
+    words = _words(text_col)
+    n_words = F.size(words)
+    # sum(len(word)) == len(text) minus separator runs: one regexp pass.
+    total_word_chars = F.length(
+        F.regexp_replace(F.trim(F.col(text_col)), WS, "")
+    )
+    mean_len = total_word_chars / F.greatest(n_words, F.lit(1))
+    alpha_frac = F.size(
+        F.filter(words, lambda w: w.rlike("[A-Za-z]"))
+    ) / F.greatest(n_words, F.lit(1))
+    n_symbols = F.size(F.split(F.col(text_col), "#", -1)) - 1 + (
+        F.size(F.split(F.col(text_col), r"\.\.\.", -1)) - 1
+    )
+    symbol_ratio = n_symbols / F.greatest(n_words, F.lit(1))
+    keep = (
+        n_words.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & mean_len.between(GOPHER_MIN_MEAN_WORD_LEN, GOPHER_MAX_MEAN_WORD_LEN)
+        & (alpha_frac >= GOPHER_MIN_ALPHA_FRAC)
+        & (symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO)
+    )
+    return docs.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        keep.alias("keep"),
+    )
+
+
+def line_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """CCNet-style cross-document line dedup: drop every line whose
+    normalized form (lowercased, trimmed) appears ``min_count`` or more
+    times across the WHOLE corpus; reassemble the survivors in original
+    order. Output: ``(id, text_clean, n_lines, n_kept)``.
+
+    Scale: the corpus-wide line count is a groupBy on the normalized line —
+    partial aggregation collapses each partition's repeats before the
+    shuffle, so boilerplate lines ("all rights reserved") cost one row per
+    partition, not one per occurrence. The count table (one row per DISTINCT
+    line) joins back 1:N against the exploded lines; reassembly groups by
+    doc_id (uniform key). No window functions, no driver collect.
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias("pos", "line"),
+    ).withColumn("norm", F.lower(F.trim(F.col("line"))))
+    counts = lines.groupBy("norm").agg(F.count("*").alias("cnt"))
+    kept = (
+        lines.join(counts, on="norm")
+        .filter(F.col("cnt") < min_count)
+        .groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+            ).alias("text_clean"),
+            F.count("*").alias("n_kept"),
+        )
+    )
+    n_lines = F.size(F.split(F.col(text_col), "\n", -1))
+    return (
+        docs.select(F.col(id_col), n_lines.alias("n_lines"))
+        .join(kept, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+            "n_lines",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )
+
+
+def pii_scrub(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Scrub emails, IPv4 addresses, and phone-like digit runs, in that
+    order, replacing each with a typed token. Output:
+    ``(id, text_scrubbed, n_emails, n_ips, n_phones)``.
+
+    Counts are taken on the text AS EACH PATTERN SEES IT (sequential
+    scrubbing): emails are counted/removed first so their digit runs can't
+    double-count as phones. Pure per-row regexp expressions — no shuffle.
+    """
+    t0 = F.col(text_col)
+    n_emails = F.regexp_count(t0, F.lit(PII_EMAIL))
+    t1 = F.regexp_replace(t0, PII_EMAIL, "<EMAIL>")
+    n_ips = F.regexp_count(t1, F.lit(PII_IPV4))
+    t2 = F.regexp_replace(t1, PII_IPV4, "<IP>")
+    n_phones = F.regexp_count(t2, F.lit(PII_PHONE))
+    t3 = F.regexp_replace(t2, PII_PHONE, "<PHONE>")
+    return docs.select(
+        F.col(id_col),
+        t3.alias("text_scrubbed"),
+        n_emails.cast("long").alias("n_emails"),
+        n_ips.cast("long").alias("n_ips"),
+        n_phones.cast("long").alias("n_phones"),
+    )

@@ -1211,6 +1211,157 @@ FROM (VALUES
 """
 
 
+# ---------------------------------------------------------------------------
+# Corpus-curation filters (Gopher/C4/CCNet-style training-data passes)
+# ---------------------------------------------------------------------------
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wpextract_spark.operators.corpusfilters import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+def _oracle_repetition_stats() -> str:
+    # Mirrors repetition_stats(ns=(2, 3)): the top gram per n is max by
+    # (count, gram) — DuckDB struct comparison is field-order lexicographic,
+    # matching Spark's max(struct(c, gram)).
+    return rf"""
+WITH w AS (
+  SELECT doc_id, length(text) AS n_chars,
+         string_split_regex(trim(text), '{WS_SQL}') AS ws
+  FROM documents),
+b AS (
+  SELECT doc_id, n_chars, len(ws) AS n_words,
+         len(list_distinct(ws)) AS n_distinct,
+         [array_to_string(ws[i:i+1], ' ')
+          for i in range(1, greatest(len(ws) - 1, 0) + 1)] AS g2,
+         [array_to_string(ws[i:i+2], ' ')
+          for i in range(1, greatest(len(ws) - 2, 0) + 1)] AS g3
+  FROM w),
+c2 AS (
+  SELECT doc_id, gram, count(*) AS c
+  FROM (SELECT doc_id, unnest(g2) AS gram FROM b) GROUP BY doc_id, gram),
+t2 AS (SELECT doc_id, max({{'c': c, 'gram': gram}}) AS m FROM c2 GROUP BY doc_id),
+c3 AS (
+  SELECT doc_id, gram, count(*) AS c
+  FROM (SELECT doc_id, unnest(g3) AS gram FROM b) GROUP BY doc_id, gram),
+t3 AS (SELECT doc_id, max({{'c': c, 'gram': gram}}) AS m FROM c3 GROUP BY doc_id)
+SELECT b.doc_id, b.n_words,
+       round((b.n_words - b.n_distinct) * 1.0 / greatest(b.n_words, 1), 6)
+         AS dup_word_frac,
+       round(coalesce(t2.m.c * length(t2.m.gram) * 1.0
+                      / greatest(b.n_chars, 1), 0.0), 6) AS top2_gram_char_frac,
+       round(coalesce(t3.m.c * length(t3.m.gram) * 1.0
+                      / greatest(b.n_chars, 1), 0.0), 6) AS top3_gram_char_frac
+FROM b LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
+"""
+
+
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wpextract_spark.operators.corpusfilters import gopher_quality_flags
+
+    return gopher_quality_flags(_t(spark, sf_dir, "documents"))
+
+
+def _oracle_gopher_quality() -> str:
+    from wpextract_spark.operators.corpusfilters import (
+        GOPHER_MAX_MEAN_WORD_LEN,
+        GOPHER_MAX_SYMBOL_RATIO,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_ALPHA_FRAC,
+        GOPHER_MIN_MEAN_WORD_LEN,
+        GOPHER_MIN_WORDS,
+    )
+
+    return rf"""
+WITH w AS (
+  SELECT doc_id, text,
+         string_split_regex(trim(text), '{WS_SQL}') AS ws,
+         length(regexp_replace(trim(text), '{WS_SQL}', '', 'g')) AS twc
+  FROM documents),
+s AS (
+  SELECT doc_id,
+         len(ws) AS n_words,
+         twc * 1.0 / greatest(len(ws), 1) AS mean_len,
+         len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0
+           / greatest(len(ws), 1) AS alpha_frac,
+         (len(string_split(text, '#')) - 1
+          + len(string_split_regex(text, '\.\.\.')) - 1) * 1.0
+           / greatest(len(ws), 1) AS symbol_ratio
+  FROM w)
+SELECT doc_id, n_words,
+       round(mean_len, 6) AS mean_word_len,
+       round(alpha_frac, 6) AS alpha_word_frac,
+       round(symbol_ratio, 6) AS symbol_ratio,
+       (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+        AND mean_len BETWEEN {GOPHER_MIN_MEAN_WORD_LEN} AND {GOPHER_MAX_MEAN_WORD_LEN}
+        AND alpha_frac >= {GOPHER_MIN_ALPHA_FRAC}
+        AND symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}) AS keep
+FROM s
+"""
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wpextract_spark.operators.corpusfilters import line_dedup
+
+    return line_dedup(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_LINE_DEDUP = """
+WITH l AS (
+  SELECT doc_id, generate_subscripts(ls, 1) AS pos, unnest(ls) AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents)),
+n AS (SELECT lower(trim(line)) AS norm, count(*) AS cnt FROM l GROUP BY 1),
+k AS (
+  SELECT doc_id,
+         array_to_string(list(line ORDER BY pos), chr(10)) AS text_clean,
+         count(*) AS n_kept
+  FROM l JOIN n ON lower(trim(l.line)) = n.norm
+  WHERE n.cnt < 2
+  GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(k.text_clean, '') AS text_clean,
+       len(string_split(d.text, chr(10))) AS n_lines,
+       coalesce(k.n_kept, 0) AS n_kept
+FROM documents d LEFT JOIN k USING (doc_id)
+"""
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wpextract_spark.operators.corpusfilters import pii_scrub
+
+    return pii_scrub(_t(spark, sf_dir, "documents"))
+
+
+def _oracle_pii_scrub() -> str:
+    # The patterns are spelled backreference/lookaround-free so Java regex
+    # (Spark) and RE2 (DuckDB) match identically; counts are taken on the
+    # text as each pattern sees it (sequential scrub), same as the operator.
+    from wpextract_spark.operators.corpusfilters import (
+        PII_EMAIL,
+        PII_IPV4,
+        PII_PHONE,
+    )
+
+    return f"""
+WITH t AS (
+  SELECT doc_id, text AS t0,
+         regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g') AS t1
+  FROM documents),
+u AS (
+  SELECT doc_id, t0, t1,
+         regexp_replace(t1, '{PII_IPV4}', '<IP>', 'g') AS t2
+  FROM t)
+SELECT doc_id,
+       regexp_replace(t2, '{PII_PHONE}', '<PHONE>', 'g') AS text_scrubbed,
+       len(regexp_extract_all(t0, '{PII_EMAIL}')) AS n_emails,
+       len(regexp_extract_all(t1, '{PII_IPV4}')) AS n_ips,
+       len(regexp_extract_all(t2, '{PII_PHONE}')) AS n_phones
+FROM u
+"""
+
+
 QUERIES = {
     "q_extract_text_kernel": q_extract_text_kernel,
     "q_extract_link_spans": q_extract_link_spans,
@@ -1250,6 +1401,10 @@ QUERIES = {
     "q_pages_extract": q_pages_extract,
     "q_pdf_roundtrip": q_pdf_roundtrip,
     "q_main_content": q_main_content,
+    "q_repetition_stats": q_repetition_stats,
+    "q_gopher_quality": q_gopher_quality,
+    "q_line_dedup": q_line_dedup,
+    "q_pii_scrub": q_pii_scrub,
 }
 
 ORACLES = {
@@ -1291,4 +1446,8 @@ ORACLES = {
     "q_pdf_roundtrip": ORACLE_PDF_ROUNDTRIP,
     "q_main_content": ORACLE_MAIN_CONTENT,
     "q_pages_extract": _oracle_pages_extract(),
+    "q_repetition_stats": _oracle_repetition_stats(),
+    "q_gopher_quality": _oracle_gopher_quality(),
+    "q_line_dedup": ORACLE_LINE_DEDUP,
+    "q_pii_scrub": _oracle_pii_scrub(),
 }
