@@ -450,6 +450,59 @@ WHERE common * 1.0 / (sa.n_grams + sb.n_grams - common) >= 0.05
 )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full dedup verdict: LSH propose -> Jaccard verify -> connected
+    components (large-star/small-star) -> per-doc keep-list."""
+    from wpextract_spark.operators.clustering import near_dup_keep_list
+
+    docs = _t(spark, sf_dir, "documents")
+    cands = lsh_candidate_pairs(docs, k=8, bands=2, max_bucket=100)
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.05, candidates=cands)
+    return near_dup_keep_list(docs, pairs)
+
+
+#: Transitive closure restated as a recursive CTE: reach(n, lab) enumerates
+#: every (node, reachable-node) pair over the bidirected near-dup edges, and
+#: min(lab) per node is exactly the component's canonical (smallest) id —
+#: the same labels large-star/small-star converges to.
+ORACLE_DEDUP_CLUSTERS = (
+    _LSH_BANDED_CTE.replace("WITH w AS", "WITH RECURSIVE w AS", 1)
+    + rf""",
+ws AS (
+  SELECT doc_id, string_split_regex(trim(text), '{WS_SQL}') AS ws FROM documents),
+g AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS grams
+  FROM ws WHERE len(ws) >= 3),
+e AS (SELECT doc_id, unnest(grams) AS g FROM g),
+sizes AS (SELECT doc_id, len(grams) AS n_grams FROM g),
+common AS (
+  SELECT p.id_a, p.id_b, count(*) AS common
+  FROM lsh_pairs p
+  JOIN e l ON l.doc_id = p.id_a
+  JOIN e r ON r.doc_id = p.id_b AND r.g = l.g
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE common * 1.0 / (sa.n_grams + sb.n_grams - common) >= 0.05),
+bidir AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach(n, lab) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM bidir)
+  UNION
+  SELECT b.u, r.lab FROM bidir b JOIN reach r ON r.n = b.v),
+cc AS (SELECT n, min(lab) AS root FROM reach GROUP BY n)
+SELECT d.doc_id,
+       coalesce(cc.root, d.doc_id) AS cluster_id,
+       (cc.root IS NULL OR cc.root = d.doc_id) AS keep
+FROM documents d LEFT JOIN cc ON cc.n = d.doc_id
+"""
+)
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
     return ngram_jaccard_pairs(docs, n=3, threshold=0.02).withColumn(
@@ -1377,6 +1430,7 @@ QUERIES = {
     "q_minhash_signatures": q_minhash_signatures,
     "q_lsh_candidate_pairs": q_lsh_candidate_pairs,
     "q_dedup_pipeline": q_dedup_pipeline,
+    "q_dedup_clusters": q_dedup_clusters,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_simhash": q_simhash,
     "q_similarity_topk": q_similarity_topk,
@@ -1422,6 +1476,7 @@ ORACLES = {
     "q_minhash_signatures": ORACLE_MINHASH,
     "q_lsh_candidate_pairs": ORACLE_LSH_PAIRS,
     "q_dedup_pipeline": ORACLE_DEDUP_PIPELINE,
+    "q_dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "q_ngram_jaccard": ORACLE_NGRAM_JACCARD,
     "q_simhash": _oracle_simhash(8),
     "q_similarity_topk": ORACLE_SIM_TOPK,
