@@ -8,10 +8,12 @@ q_pii_scrub)."""
 import pytest
 
 from wpextract_spark.operators.corpusfilters import (
+    c4_line_filter,
     gopher_quality_flags,
     line_dedup,
     pii_scrub,
     repetition_stats,
+    source_cap,
 )
 
 
@@ -86,6 +88,47 @@ def test_pii_scrub_sequential(spark):
     row = pii_scrub(_docs(spark, [(1, text)])).collect()[0]
     assert row["text_scrubbed"] == "mail <EMAIL> or <IP> or <PHONE> end"
     assert (row["n_emails"], row["n_ips"], row["n_phones"]) == (1, 1, 1)
+
+
+def test_c4_line_filter_rules(spark):
+    text = "\n".join(
+        [
+            "This line has enough words and ends properly.",  # kept
+            "Short line.",  # < 5 words
+            "This one has plenty of words but no terminal punct",  # no punct
+            "Enable JavaScript to view the full comments here.",  # javascript
+            'He said "use five or more words."',  # ends in quote: kept
+        ]
+    )
+    row = c4_line_filter(_docs(spark, [(1, text)])).collect()[0]
+    assert row["text_clean"] == (
+        'This line has enough words and ends properly.\nHe said "use five or more words."'
+    )
+    assert row["n_lines"] == 5 and row["n_kept"] == 2
+    assert row["keep"] is False  # only 2 kept lines < 3
+
+
+def test_c4_page_flags(spark):
+    good = "\n".join(["A good sentence with many words here."] * 3)
+    lorem = good + "\nLorem Ipsum dolor sit amet and then some."
+    braces = good.replace("here.", "here {ok}.")
+    out = {
+        r["doc_id"]: r["keep"]
+        for r in c4_line_filter(
+            _docs(spark, [(1, good), (2, lorem), (3, braces)])
+        ).collect()
+    }
+    assert out == {1: True, 2: False, 3: False}
+
+
+def test_source_cap(spark):
+    rows = [(i, f"s{i % 2}") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = source_cap(df, max_per_source=3).collect()
+    kept = sorted(r["doc_id"] for r in out if r["keep"])
+    assert kept == [0, 1, 2, 3, 4, 5]  # first 3 of each source by doc_id
+    ranks = {r["doc_id"]: r["rank_in_source"] for r in out}
+    assert ranks[8] == 5 and ranks[9] == 5
 
 
 def test_pii_scrub_email_digits_not_double_counted(spark):

@@ -228,6 +228,76 @@ def line_dedup(
     )
 
 
+#: C4 line/page rule constants (Raffel et al. 2020 §2.2), module-level so the
+#: oracles restate identical values.
+C4_MIN_WORDS_PER_LINE = 5
+C4_MIN_KEPT_LINES = 3
+C4_TERMINAL_RE = r'[.!?"]$'
+
+
+def c4_line_filter(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """C4 cleaning heuristics: keep only lines that end in terminal
+    punctuation, have >= 5 words, and don't mention javascript; flag pages
+    with "lorem ipsum" or '{' and those keeping < 3 lines. Output:
+    ``(id, text_clean, n_lines, n_kept, keep)``.
+
+    Every rule is a per-row array expression (split -> filter -> join) — no
+    explode, no shuffle, one whole-stage-codegen pass over the corpus. This
+    is the cheapest curation operator and the model for line rules at scale:
+    anything expressible per-document should never leave the row.
+    """
+    lines = F.split(F.col(text_col), "\n", -1)
+    trimmed = lambda l: F.trim(l)  # noqa: E731
+    keep_line = lambda l: (  # noqa: E731
+        trimmed(l).rlike(C4_TERMINAL_RE)
+        & (F.size(F.split(trimmed(l), WS)) >= C4_MIN_WORDS_PER_LINE)
+        & ~F.lower(l).contains("javascript")
+    )
+    kept = F.filter(lines, keep_line)
+    n_kept = F.size(kept)
+    page_ok = (
+        ~F.lower(F.col(text_col)).contains("lorem ipsum")
+        & ~F.col(text_col).contains("{")
+        & (n_kept >= C4_MIN_KEPT_LINES)
+    )
+    return docs.select(
+        F.col(id_col),
+        F.concat_ws("\n", kept).alias("text_clean"),
+        F.size(lines).alias("n_lines"),
+        n_kept.cast("long").alias("n_kept"),
+        page_ok.alias("keep"),
+    )
+
+
+def source_cap(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    max_per_source: int = 100,
+) -> DataFrame:
+    """Cap documents per source/domain (Common-Crawl-style anti-dominance
+    rule): deterministic rank within each source by id, keep the first
+    ``max_per_source``. Output: ``(id, source, rank_in_source, keep)``.
+
+    Scale: one shuffle on the source key. row_number needs each source's rows
+    on one partition — exactly the skew a mega-domain creates — so at corpus
+    scale pair this with the salting in ``operators/skew.py``: pre-aggregate
+    per-source counts two-stage, or rank by a quality score and approximate
+    the cap with a per-salt quota. The exact window is the correctness
+    baseline those approximations are judged against.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(source_col).orderBy(id_col)
+    return docs.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.row_number().over(w).cast("long").alias("rank_in_source"),
+    ).withColumn("keep", F.col("rank_in_source") <= max_per_source)
+
+
 def pii_scrub(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -1415,6 +1415,53 @@ FROM u
 """
 
 
+def q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wpextract_spark.operators.corpusfilters import c4_line_filter
+
+    return c4_line_filter(_t(spark, sf_dir, "documents"))
+
+
+def _oracle_c4_filter() -> str:
+    from wpextract_spark.operators.corpusfilters import (
+        C4_MIN_KEPT_LINES,
+        C4_MIN_WORDS_PER_LINE,
+        C4_TERMINAL_RE,
+    )
+
+    return rf"""
+WITH s AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, chr(10)),
+                     l -> regexp_matches(trim(l), '{C4_TERMINAL_RE}')
+                          AND len(string_split_regex(trim(l), '{WS_SQL}'))
+                              >= {C4_MIN_WORDS_PER_LINE}
+                          AND NOT contains(lower(l), 'javascript')) AS kept
+  FROM documents)
+SELECT doc_id,
+       coalesce(array_to_string(kept, chr(10)), '') AS text_clean,
+       len(string_split(text, chr(10))) AS n_lines,
+       len(kept) AS n_kept,
+       (NOT contains(lower(text), 'lorem ipsum')
+        AND NOT contains(text, '{{')
+        AND len(kept) >= {C4_MIN_KEPT_LINES}) AS keep
+FROM s
+"""
+
+
+def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wpextract_spark.operators.corpusfilters import source_cap
+
+    return source_cap(_t(spark, sf_dir, "documents"), max_per_source=10)
+
+
+ORACLE_SOURCE_CAP = """
+SELECT doc_id, source,
+       row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rank_in_source,
+       row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 10 AS keep
+FROM documents
+"""
+
+
 QUERIES = {
     "q_extract_text_kernel": q_extract_text_kernel,
     "q_extract_link_spans": q_extract_link_spans,
@@ -1459,6 +1506,8 @@ QUERIES = {
     "q_gopher_quality": q_gopher_quality,
     "q_line_dedup": q_line_dedup,
     "q_pii_scrub": q_pii_scrub,
+    "q_c4_filter": q_c4_filter,
+    "q_source_cap": q_source_cap,
 }
 
 ORACLES = {
@@ -1505,4 +1554,6 @@ ORACLES = {
     "q_gopher_quality": _oracle_gopher_quality(),
     "q_line_dedup": ORACLE_LINE_DEDUP,
     "q_pii_scrub": _oracle_pii_scrub(),
+    "q_c4_filter": _oracle_c4_filter(),
+    "q_source_cap": ORACLE_SOURCE_CAP,
 }
