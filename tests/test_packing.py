@@ -1,0 +1,60 @@
+"""Sequence packing: the two-level scan must equal the naive global cumsum
+for any bucket width, and the span math must be exact at boundaries."""
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from wpextract_spark.operators.packing import sequence_pack
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+
+
+def _naive(df, seq_len):
+    n = (
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(
+            r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 \t\n\x0B\f\r']+"
+        ), 0)) + 1
+    ).cast("long")
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    t = df.select("doc_id", n.alias("n_tokens"))
+    return t.withColumn("offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+
+
+def test_matches_naive_cumsum_any_bucket_width(spark):
+    texts = [f"word{i} " * (i % 17 + 1) for i in range(80)]
+    df = _docs(spark, texts)
+    expected = sorted(
+        tuple(r) for r in _naive(df, 64).select("doc_id", "n_tokens", "offset").collect()
+    )
+    for bw in (1, 7, 64, 1000):
+        got = sorted(
+            tuple(r)
+            for r in sequence_pack(df, seq_len=64, bucket_width=bw)
+            .select("doc_id", "n_tokens", "offset")
+            .collect()
+        )
+        assert got == expected, f"bucket_width={bw}"
+
+
+def test_offsets_are_contiguous(spark):
+    df = _docs(spark, ["a b c", "d e", "f g h i"])
+    rows = {
+        r["doc_id"]: r for r in sequence_pack(df, seq_len=4, bucket_width=2).collect()
+    }
+    # tokens: 3+1, 2+1, 4+1 -> offsets 0, 4, 7
+    assert [rows[i]["offset"] for i in range(3)] == [0, 4, 7]
+    assert [rows[i]["n_tokens"] for i in range(3)] == [4, 3, 5]
+
+
+def test_seq_index_and_span(spark):
+    df = _docs(spark, ["a b c", "d e", "f g h i"])
+    rows = {
+        r["doc_id"]: r for r in sequence_pack(df, seq_len=4, bucket_width=2).collect()
+    }
+    # doc0: tokens [0,4) -> seq 0 only; doc1: [4,7) -> seq 1 only;
+    # doc2: [7,12) -> seqs 1..2 -> spans 2.
+    assert (rows[0]["seq_index"], rows[0]["n_seqs_spanned"]) == (0, 1)
+    assert (rows[1]["seq_index"], rows[1]["n_seqs_spanned"]) == (1, 1)
+    assert (rows[2]["seq_index"], rows[2]["n_seqs_spanned"]) == (1, 2)

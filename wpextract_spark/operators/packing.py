@@ -1,0 +1,97 @@
+"""Training-sequence packing: global token offsets via distributed prefix sum.
+
+Pretraining pipelines concatenate the token streams of all documents (with an
+EOS separator) and slice the result into fixed-length training sequences.
+The operator every such pipeline needs is the *global exclusive prefix sum*
+of per-document token counts in a deterministic corpus order — given that,
+each document knows its byte-exact position: start offset, covering sequence
+index, and how many sequence boundaries it straddles.
+
+A naive Spark expression — ``sum(n) OVER (ORDER BY id)`` with no PARTITION
+BY — is correct but serializes the whole corpus through ONE task (Spark
+plans an un-partitioned window as a single-partition sort). This module
+implements the classic two-level scan instead:
+
+1. bucket documents by an order-preserving key function (default: id range);
+2. cumsum *within* each bucket — a partitioned window, fully parallel;
+3. cumsum the per-bucket totals — a window over ``n_buckets`` rows, i.e.
+   driver-scale data even when the corpus is 10^12 documents;
+4. broadcast-join the bucket base offsets back.
+
+Total cost: one parallel window + one tiny aggregation + one broadcast join.
+The single-partition step touches one row per bucket, never per document.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from wpextract_spark.operators.textstats import BPE_SPLIT_RE
+
+
+def sequence_pack(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seq_len: int = 2048,
+    bucket_width: int = 65536,
+) -> DataFrame:
+    """Per-document packing position: ``(id, n_tokens, offset, seq_index,
+    n_seqs_spanned)``.
+
+    ``n_tokens`` counts BPE-style regex tokens plus one EOS separator;
+    ``offset`` is the exclusive prefix sum of ``n_tokens`` in ``id`` order
+    (the document's first token position in the packed stream);
+    ``seq_index`` is the training sequence containing that first token;
+    ``n_seqs_spanned`` is how many ``seq_len`` windows the document touches.
+
+    ``bucket_width`` groups ``bucket_width`` consecutive ids per bucket for
+    the two-level scan — any value keeps results identical (it only changes
+    physical parallelism); size it so the id range / bucket_width is
+    comfortably driver-small while each bucket holds enough rows to fill a
+    task.
+    """
+    n_tokens = (
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_SPLIT_RE), 0)) + 1
+    ).cast("long")
+    base = docs.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        F.floor(F.col(id_col) / bucket_width).alias("_bucket"),
+    )
+    in_bucket = Window.partitionBy("_bucket").orderBy(id_col)
+    # Exclusive cumsum within the bucket: sum over preceding rows only.
+    local = base.withColumn(
+        "_local_off",
+        F.coalesce(
+            F.sum("n_tokens").over(
+                in_bucket.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    totals = base.groupBy("_bucket").agg(F.sum("n_tokens").alias("_bucket_tok"))
+    bucket_order = Window.orderBy("_bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bases = totals.select(
+        "_bucket",
+        F.coalesce(F.sum("_bucket_tok").over(bucket_order), F.lit(0)).alias(
+            "_bucket_base"
+        ),
+    )
+    offset = F.col("_bucket_base") + F.col("_local_off")
+    return local.join(F.broadcast(bases), "_bucket").select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        offset.alias("offset"),
+        F.floor(offset / seq_len).cast("long").alias("seq_index"),
+        (
+            F.floor((offset + F.col("n_tokens") - 1) / seq_len)
+            - F.floor(offset / seq_len)
+            + 1
+        )
+        .cast("long")
+        .alias("n_seqs_spanned"),
+    )

@@ -1415,6 +1415,39 @@ FROM u
 """
 
 
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level distributed prefix sum for training-sequence packing
+    (bucket_width=64 exercises multiple buckets at sf0.01's 500 docs)."""
+    from wpextract_spark.operators.packing import sequence_pack
+
+    return sequence_pack(
+        _t(spark, sf_dir, "documents"), seq_len=512, bucket_width=64
+    )
+
+
+def _oracle_sequence_pack() -> str:
+    # The oracle IS the naive single-window cumsum the operator decomposes:
+    # identical results, different physical plan.
+    from wpextract_spark.operators.textstats import BPE_SPLIT_RE
+
+    pat = BPE_SPLIT_RE.replace("'", "''")
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{pat}', 0)) + 1 AS n_tokens
+  FROM documents),
+o AS (
+  SELECT doc_id, n_tokens,
+         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS "offset"
+  FROM t)
+SELECT doc_id, n_tokens, "offset",
+       "offset" // 512 AS seq_index,
+       ("offset" + n_tokens - 1) // 512 - "offset" // 512 + 1 AS n_seqs_spanned
+FROM o
+"""
+
+
 def q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wpextract_spark.operators.corpusfilters import c4_line_filter
 
@@ -1508,6 +1541,7 @@ QUERIES = {
     "q_pii_scrub": q_pii_scrub,
     "q_c4_filter": q_c4_filter,
     "q_source_cap": q_source_cap,
+    "q_sequence_pack": q_sequence_pack,
 }
 
 ORACLES = {
@@ -1556,4 +1590,5 @@ ORACLES = {
     "q_pii_scrub": _oracle_pii_scrub(),
     "q_c4_filter": _oracle_c4_filter(),
     "q_source_cap": ORACLE_SOURCE_CAP,
+    "q_sequence_pack": _oracle_sequence_pack(),
 }
