@@ -298,6 +298,30 @@ def source_cap(
     ).withColumn("keep", F.col("rank_in_source") <= max_per_source)
 
 
+def url_dedup(
+    docs: DataFrame, id_col: str = "doc_id", url_col: str = "url"
+) -> DataFrame:
+    """Canonical-URL dedup: ``(id, url, canon_url, keep)`` where keep marks
+    the smallest id per canonical URL (first-crawled survivor policy).
+
+    Canonicalization (:func:`wpextract_spark.functions.urls.canonicalize_url`)
+    is a per-row expression; the only shuffle is the min-per-canonical-url
+    window, keyed on the canonical string — uniform unless one URL truly
+    dominates, in which case it's exactly the duplicate mass we're removing.
+    """
+    from pyspark.sql import Window
+
+    from wpextract_spark.functions.urls import canonicalize_url
+
+    canon = docs.select(
+        F.col(id_col),
+        F.col(url_col),
+        canonicalize_url(url_col).alias("canon_url"),
+    )
+    w = Window.partitionBy("canon_url")
+    return canon.withColumn("keep", F.col(id_col) == F.min(id_col).over(w))
+
+
 def pii_scrub(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -1448,6 +1448,77 @@ FROM o
 """
 
 
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL dedup over deterministically-messy URLs: consecutive
+    doc pairs share a page behind different surface forms (case, default
+    port, trailing slash, tracking params, fragment)."""
+    from wpextract_spark.operators.corpusfilters import url_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    base = F.floor(F.col("doc_id") / 2).cast("long").cast("string")
+    url = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(
+            F.lit("https://Example.org/post/"), base, F.lit("/?id="), base,
+            F.lit("&utm_source=feed#top"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("https://example.org:443/post/"), base, F.lit("?id="), base
+        )
+    )
+    return url_dedup(docs.select("doc_id", url.alias("url")))
+
+
+#: The oracle restates the full canonicalization pipeline step by step —
+#: fragment strip, prefix lowering, default-port drop, path/query split,
+#: trailing slash, tracking-param filter + sort — not just the constructed
+#: expectation, so the check covers the expressions, not the test data.
+ORACLE_URL_DEDUP = r"""
+WITH urls AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0
+           THEN 'https://Example.org/post/' || (doc_id // 2) || '/?id=' || (doc_id // 2) || '&utm_source=feed#top'
+           ELSE 'https://example.org:443/post/' || (doc_id // 2) || '?id=' || (doc_id // 2)
+         END AS url
+  FROM documents),
+s1 AS (SELECT doc_id, url, regexp_replace(url, '#.*', '') AS u FROM urls),
+s2 AS (
+  SELECT doc_id, url, u,
+         lower(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1)) AS prefix
+  FROM s1),
+s3 AS (
+  SELECT doc_id, url,
+         CASE WHEN starts_with(prefix, 'https://') AND ends_with(prefix, ':443')
+                THEN prefix[1:length(prefix)-4]
+              WHEN starts_with(prefix, 'http://') AND ends_with(prefix, ':80')
+                THEN prefix[1:length(prefix)-3]
+              ELSE prefix END AS prefix,
+         u[length(prefix)+1:] AS rest
+  FROM s2),
+s4 AS (
+  SELECT doc_id, url, prefix,
+         CASE WHEN strpos(rest, '?') > 0 THEN rest[1:strpos(rest, '?')-1] ELSE rest END AS path,
+         CASE WHEN strpos(rest, '?') > 0 THEN rest[strpos(rest, '?')+1:] ELSE '' END AS query
+  FROM s3),
+s5 AS (
+  SELECT doc_id, url, prefix,
+         CASE WHEN length(path) > 1 AND ends_with(path, '/')
+              THEN path[1:length(path)-1] ELSE path END AS path,
+         list_sort(list_filter(string_split(query, '&'),
+           p -> p != '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref)(=.*)?$'))) AS params
+  FROM s4),
+c AS (
+  SELECT doc_id, url,
+         prefix || path ||
+         CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&') ELSE '' END AS canon_url
+  FROM s5)
+SELECT doc_id, url, canon_url,
+       doc_id = min(doc_id) OVER (PARTITION BY canon_url) AS keep
+FROM c
+"""
+
+
 def q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from wpextract_spark.operators.corpusfilters import c4_line_filter
 
@@ -1542,6 +1613,7 @@ QUERIES = {
     "q_c4_filter": q_c4_filter,
     "q_source_cap": q_source_cap,
     "q_sequence_pack": q_sequence_pack,
+    "q_url_dedup": q_url_dedup,
 }
 
 ORACLES = {
@@ -1591,4 +1663,5 @@ ORACLES = {
     "q_c4_filter": _oracle_c4_filter(),
     "q_source_cap": ORACLE_SOURCE_CAP,
     "q_sequence_pack": _oracle_sequence_pack(),
+    "q_url_dedup": ORACLE_URL_DEDUP,
 }
