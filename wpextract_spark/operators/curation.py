@@ -1,0 +1,104 @@
+"""End-to-end corpus curation: one verdict per document.
+
+Composes the individual passes — Gopher quality rules, C4 line/page
+heuristics, exact dedup, and LSH-propose → Jaccard-verify → connected-
+components near-dup clustering — into a single keep/reject decision with
+the first failing stage as the reject reason. This is the shape a real
+training-data job runs: cheap per-row flags first, then the shuffle-bearing
+dedup stages.
+
+Scale notes: every stage keys its joins on the document id (uniform); the
+quality flags are shuffle-free row expressions; at corpus scale you would
+additionally *filter* after the cheap stages so the dedup stages only see
+survivors — kept un-filtered here so the verdict table reports every
+document, which is what the correctness oracle checks. The near-dup stage
+inherits the bucket caps and candidate-keyed joins of its components
+(`operators/dedup.py`, `operators/clustering.py`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from wpextract_spark.operators.clustering import near_dup_keep_list
+from wpextract_spark.operators.corpusfilters import (
+    c4_line_filter,
+    gopher_quality_flags,
+)
+from wpextract_spark.operators.dedup import (
+    WS,
+    lsh_candidate_pairs,
+    ngram_jaccard_pairs,
+)
+
+
+def curation_pipeline(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    exact_key_words: int | None = 5,
+    jaccard_threshold: float = 0.05,
+) -> DataFrame:
+    """Per-document verdict: ``(id, gopher_keep, c4_keep, exact_keep,
+    neardup_keep, keep, reject_reason)``.
+
+    ``exact_key_words`` selects the exact-dup key: the first N words
+    (None = full text). ``reject_reason`` is the FIRST failing stage in
+    pipeline order (gopher, c4, exact_dup, near_dup) or '' when kept —
+    mirroring how a staged job would attribute drops.
+    """
+    g = gopher_quality_flags(docs, id_col, text_col).select(
+        id_col, F.col("keep").alias("gopher_keep")
+    )
+    c = c4_line_filter(docs, id_col, text_col).select(
+        id_col, F.col("keep").alias("c4_keep")
+    )
+
+    if exact_key_words is None:
+        key = F.md5(F.col(text_col))
+    else:
+        key = F.md5(
+            F.concat_ws(
+                " ",
+                F.slice(F.split(F.trim(F.col(text_col)), WS), 1, exact_key_words),
+            )
+        )
+    ew = Window.partitionBy("_key")
+    e = (
+        docs.select(F.col(id_col), key.alias("_key"))
+        .withColumn("exact_keep", F.col(id_col) == F.min(id_col).over(ew))
+        .drop("_key")
+    )
+
+    cands = lsh_candidate_pairs(docs, id_col, text_col, k=8, bands=2, max_bucket=100)
+    pairs = ngram_jaccard_pairs(
+        docs, id_col, text_col, n=3, threshold=jaccard_threshold, candidates=cands
+    )
+    nd = near_dup_keep_list(docs, pairs, id_col).select(
+        id_col, F.col("keep").alias("neardup_keep")
+    )
+
+    out = g.join(c, id_col).join(e, id_col).join(nd, id_col)
+    keep = (
+        F.col("gopher_keep")
+        & F.col("c4_keep")
+        & F.col("exact_keep")
+        & F.col("neardup_keep")
+    )
+    reason = (
+        F.when(~F.col("gopher_keep"), F.lit("gopher"))
+        .when(~F.col("c4_keep"), F.lit("c4"))
+        .when(~F.col("exact_keep"), F.lit("exact_dup"))
+        .when(~F.col("neardup_keep"), F.lit("near_dup"))
+        .otherwise(F.lit(""))
+    )
+    return out.select(
+        id_col,
+        "gopher_keep",
+        "c4_keep",
+        "exact_keep",
+        "neardup_keep",
+        keep.alias("keep"),
+        reason.alias("reject_reason"),
+    )

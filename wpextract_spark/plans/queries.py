@@ -503,6 +503,105 @@ FROM documents d LEFT JOIN cc ON cc.n = d.doc_id
 )
 
 
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship composition: quality rules + exact dedup + near-dup
+    clustering into one keep/reject verdict with reject attribution."""
+    from wpextract_spark.operators.curation import curation_pipeline
+
+    return curation_pipeline(_t(spark, sf_dir, "documents"))
+
+
+def _oracle_curation_pipeline() -> str:
+    from wpextract_spark.operators.corpusfilters import (
+        C4_MIN_KEPT_LINES,
+        C4_MIN_WORDS_PER_LINE,
+        C4_TERMINAL_RE,
+        GOPHER_MAX_MEAN_WORD_LEN,
+        GOPHER_MAX_SYMBOL_RATIO,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_ALPHA_FRAC,
+        GOPHER_MIN_MEAN_WORD_LEN,
+        GOPHER_MIN_WORDS,
+    )
+
+    return (
+        _LSH_BANDED_CTE.replace("WITH w AS", "WITH RECURSIVE w AS", 1)
+        + rf""",
+ws AS (
+  SELECT doc_id, string_split_regex(trim(text), '{WS_SQL}') AS ws FROM documents),
+g AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(ws[i:i+2], ' ') for i in range(1, len(ws) - 1)]) AS grams
+  FROM ws WHERE len(ws) >= 3),
+e AS (SELECT doc_id, unnest(grams) AS g FROM g),
+sizes AS (SELECT doc_id, len(grams) AS n_grams FROM g),
+common AS (
+  SELECT p.id_a, p.id_b, count(*) AS common
+  FROM lsh_pairs p
+  JOIN e l ON l.doc_id = p.id_a
+  JOIN e r ON r.doc_id = p.id_b AND r.g = l.g
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE common * 1.0 / (sa.n_grams + sb.n_grams - common) >= 0.05),
+bidir AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach(n, lab) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM bidir)
+  UNION
+  SELECT b.u, r.lab FROM bidir b JOIN reach r ON r.n = b.v),
+cc AS (SELECT n, min(lab) AS root FROM reach GROUP BY n),
+gw AS (
+  SELECT doc_id, text,
+         string_split_regex(trim(text), '{WS_SQL}') AS ws2,
+         length(regexp_replace(trim(text), '{WS_SQL}', '', 'g')) AS twc
+  FROM documents),
+gq AS (
+  SELECT doc_id,
+         (len(ws2) BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+          AND twc * 1.0 / greatest(len(ws2), 1)
+              BETWEEN {GOPHER_MIN_MEAN_WORD_LEN} AND {GOPHER_MAX_MEAN_WORD_LEN}
+          AND len(list_filter(ws2, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0
+              / greatest(len(ws2), 1) >= {GOPHER_MIN_ALPHA_FRAC}
+          AND (len(string_split(text, '#')) - 1
+               + len(string_split_regex(text, '\.\.\.')) - 1) * 1.0
+              / greatest(len(ws2), 1) <= {GOPHER_MAX_SYMBOL_RATIO}) AS gopher_keep
+  FROM gw),
+c4 AS (
+  SELECT doc_id,
+         (NOT contains(lower(text), 'lorem ipsum')
+          AND NOT contains(text, '{{')
+          AND len(list_filter(string_split(text, chr(10)),
+                l -> regexp_matches(trim(l), '{C4_TERMINAL_RE}')
+                     AND len(string_split_regex(trim(l), '{WS_SQL}'))
+                         >= {C4_MIN_WORDS_PER_LINE}
+                     AND NOT contains(lower(l), 'javascript')))
+              >= {C4_MIN_KEPT_LINES}) AS c4_keep
+  FROM documents),
+ex AS (
+  SELECT doc_id,
+         doc_id = min(doc_id) OVER (PARTITION BY
+           md5(array_to_string((string_split_regex(trim(text), '{WS_SQL}'))[1:5], ' '))
+         ) AS exact_keep
+  FROM documents),
+nd AS (
+  SELECT d.doc_id, (cc.root IS NULL OR cc.root = d.doc_id) AS neardup_keep
+  FROM documents d LEFT JOIN cc ON cc.n = d.doc_id)
+SELECT gq.doc_id, gopher_keep, c4_keep, exact_keep, neardup_keep,
+       (gopher_keep AND c4_keep AND exact_keep AND neardup_keep) AS keep,
+       CASE WHEN NOT gopher_keep THEN 'gopher'
+            WHEN NOT c4_keep THEN 'c4'
+            WHEN NOT exact_keep THEN 'exact_dup'
+            WHEN NOT neardup_keep THEN 'near_dup'
+            ELSE '' END AS reject_reason
+FROM gq JOIN c4 USING (doc_id) JOIN ex USING (doc_id) JOIN nd USING (doc_id)
+"""
+    )
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
     return ngram_jaccard_pairs(docs, n=3, threshold=0.02).withColumn(
@@ -1614,6 +1713,7 @@ QUERIES = {
     "q_source_cap": q_source_cap,
     "q_sequence_pack": q_sequence_pack,
     "q_url_dedup": q_url_dedup,
+    "q_curation_pipeline": q_curation_pipeline,
 }
 
 ORACLES = {
@@ -1664,4 +1764,5 @@ ORACLES = {
     "q_source_cap": ORACLE_SOURCE_CAP,
     "q_sequence_pack": _oracle_sequence_pack(),
     "q_url_dedup": ORACLE_URL_DEDUP,
+    "q_curation_pipeline": _oracle_curation_pipeline(),
 }
