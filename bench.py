@@ -14,13 +14,22 @@ Prints ONE JSON line:
 Each query is forced end-to-end with a ``noop``-format write (full computation,
 no driver-side collect). Scaling evidence (local[8] vs local[32]) lives in
 ``scripts/scaling_bench.py`` -> ``BENCH/BASELINE.md``.
+
+The throughput probe runs FIRST, in subprocess JVMs (one to synthesize the
+pages parquet, one to measure), before this process starts any Spark of its
+own: the probe then sees the identical protocol AND process state as the
+BENCH/BASELINE.md scaling evidence. Measured here, probing from inside (or
+even merely alongside) the suite's finished 8 GB JVM costs the headline
+~2x — the stopped context's heap/GC tail keeps stealing cores.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
+import tempfile
 import time
 from pathlib import Path
 
@@ -28,10 +37,22 @@ sys.path.insert(0, str(Path(__file__).parent))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # Pages synthesized for the extraction-throughput probe (deterministic).
-# 60k pages: at ~35k docs/s on 32 cores the probe runs ~2s of steady-state
+# 60k pages: at ~30k docs/s on 32 cores the probe runs ~2s of steady-state
 # work, so fixed stage costs no longer dominate the reported docs/sec (at 8k
 # they swamped it ~6x).
 N_BENCH_PAGES = int(os.environ.get("BENCH_PAGES", "60000"))
+CORES = int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 32)))
+
+_GEN_SNIPPET = """
+import sys
+sys.path.insert(0, {repo!r})
+from wpextract_spark.session import get_session
+from wpextract_spark.sources.synth import generate_pages
+spark = get_session("bench-pagegen")
+spark.sparkContext.setLogLevel("ERROR")
+generate_pages(spark, n_pages={n}, seed=42, partitions=256).write.parquet({path!r})
+spark.stop()
+"""
 
 
 def _force(df) -> int:
@@ -40,11 +61,40 @@ def _force(df) -> int:
     return 0
 
 
+def _run_probe(tmp: str) -> dict:
+    repo = str(Path(__file__).parent)
+    input_path = f"{tmp}/pages.parquet"
+    gen = subprocess.run(
+        [sys.executable, "-c", _GEN_SNIPPET.format(repo=repo, n=N_BENCH_PAGES, path=input_path)],
+        capture_output=True,
+        text=True,
+    )
+    if gen.returncode:
+        raise RuntimeError(f"page generation failed:\n{gen.stderr[-2000:]}")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            str(Path(repo) / "scripts" / "scaling_worker.py"),
+            str(CORES),
+            input_path,
+            "3",
+        ],
+        capture_output=True,
+        text=True,
+    )
+    if proc.returncode:
+        raise RuntimeError(f"probe failed:\n{proc.stderr[-2000:]}")
+    line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
 def main() -> None:
+    # Probe before ANY Spark exists in this process (see module docstring).
+    with tempfile.TemporaryDirectory(prefix="bench_pages_") as tmp:
+        probe = _run_probe(tmp)
+
     from wpextract_spark.plans.queries import QUERIES
     from wpextract_spark.session import get_session
-    from wpextract_spark.operators.extract import content_extract_udf
-    from wpextract_spark.sources.synth import generate_pages
 
     from pyspark.sql import functions as F
 
@@ -77,49 +127,8 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += dt
 
-    # Flagship extraction throughput — SAME protocol as scripts/
-    # scaling_worker.py so this headline and BENCH/BASELINE.md agree within
-    # noise: pages pre-written to a 256-file parquet, scan tasks packed to
-    # ~8 waves per slot, scan -> fused UDF -> noop sink (no shuffle), one
-    # warm-up pass, best of 3 timed trials.
-    import tempfile
-
-    cores = spark.sparkContext.defaultParallelism
-    with tempfile.TemporaryDirectory(prefix="bench_pages_") as tmp:
-        input_path = f"{tmp}/pages.parquet"
-        generate_pages(spark, n_pages=N_BENCH_PAGES, seed=42, partitions=256).write.parquet(
-            input_path
-        )
-        total_bytes = sum(
-            f.stat().st_size for f in Path(input_path).glob("*.parquet")
-        )
-        max_part = max(1_000_000, total_bytes // (cores * 8))
-        prev_mpb = spark.conf.get("spark.sql.files.maxPartitionBytes")
-        prev_ocb = spark.conf.get("spark.sql.files.openCostInBytes")
-        spark.conf.set("spark.sql.files.maxPartitionBytes", str(max_part))
-        spark.conf.set("spark.sql.files.openCostInBytes", "0")
-        try:
-            pages = spark.read.parquet(input_path)
-            n = pages.count()
-            res = content_extract_udf()(F.col("html"), F.col("url"))
-            extracted = pages.select(
-                "url",
-                res["text"].alias("text"),
-                F.size(res["links_internal"]).alias("n_int"),
-                F.size(res["images"]).alias("n_img"),
-            )
-            _force(extracted)  # warm-up: workers, plan, page cache
-            walls = []
-            for _ in range(3):
-                t0 = time.perf_counter()
-                _force(extracted)
-                walls.append(time.perf_counter() - t0)
-            dt_extract = min(walls)
-        finally:
-            spark.conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
-            spark.conf.set("spark.sql.files.openCostInBytes", prev_ocb)
-    timings["extract_throughput"] = round(dt_extract, 3)
-    total += dt_extract
+    timings["extract_throughput"] = round(probe["wall_s"], 3)
+    total += probe["wall_s"]
 
     result = {
         "metric": "wpextract_spark headline suite wall time",
@@ -127,9 +136,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "extract_docs_per_sec": round(n / dt_extract, 1),
-        "extract_pages": n,
-        "cores": spark.sparkContext.defaultParallelism,
+        "extract_docs_per_sec": probe["docs_per_sec"],
+        "extract_pages": probe["n_pages"],
+        "cores": probe["cores"],
     }
     print(json.dumps(result))
     spark.stop()
