@@ -36,6 +36,7 @@ def sequence_pack(
     text_col: str = "text",
     seq_len: int = 2048,
     bucket_width: int = 65536,
+    materialize: bool = False,
 ) -> DataFrame:
     """Per-document packing position: ``(id, n_tokens, offset, seq_index,
     n_seqs_spanned)``.
@@ -51,6 +52,17 @@ def sequence_pack(
     physical parallelism); size it so the id range / bucket_width is
     comfortably driver-small while each bucket holds enough rows to fill a
     task.
+
+    The token counts feed two consumers (the in-bucket cumsum and the
+    bucket totals) and Catalyst does not share un-materialized subtrees
+    across a window and an aggregate, so by default the narrow
+    ``(id, n_tokens, bucket)`` projection is computed twice — twice the
+    tokenizer regex, not twice the corpus I/O columns. Pass
+    ``materialize=True`` to ``localCheckpoint`` that 3-column projection
+    once (tiny next to the text column) and make the whole operator a
+    strict single pass over the corpus — the right call on a real cluster;
+    left off by default so the operator stays side-effect-free for plan
+    inspection and the oracle gate.
     """
     n_tokens = (
         F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_SPLIT_RE), 0)) + 1
@@ -60,6 +72,8 @@ def sequence_pack(
         n_tokens.alias("n_tokens"),
         F.floor(F.col(id_col) / bucket_width).alias("_bucket"),
     )
+    if materialize:
+        base = base.localCheckpoint(eager=True)
     in_bucket = Window.partitionBy("_bucket").orderBy(id_col)
     # Exclusive cumsum within the bucket: sum over preceding rows only.
     local = base.withColumn(
@@ -71,7 +85,14 @@ def sequence_pack(
             F.lit(0),
         ),
     )
-    totals = base.groupBy("_bucket").agg(F.sum("n_tokens").alias("_bucket_tok"))
+    # Bucket total = max of the INCLUSIVE cumsum. Expressing it through
+    # _local_off (not a fresh sum over `base`) makes the totals branch
+    # consume the window's output, so both sides share one exchange and the
+    # scan + tokenization run once — a plain sum(n_tokens) gets its window
+    # pruned by the optimizer and re-scans the corpus.
+    totals = local.groupBy("_bucket").agg(
+        F.max(F.col("_local_off") + F.col("n_tokens")).alias("_bucket_tok")
+    )
     bucket_order = Window.orderBy("_bucket").rowsBetween(
         Window.unboundedPreceding, -1
     )
