@@ -1,0 +1,74 @@
+"""Deterministic sampling/splitting: reproducibility, rate accuracy, and
+stability under repartitioning (the properties df.sample lacks)."""
+
+import pytest
+
+from wpextract_spark.operators.sampling import (
+    _rate_to_hex,
+    hash_split,
+    stratified_sample,
+)
+
+
+def _docs(spark, n=400):
+    return spark.range(n).selectExpr(
+        "id AS doc_id",
+        "CASE WHEN id % 4 = 0 THEN 'en' WHEN id % 4 = 1 THEN 'de' "
+        "ELSE 'fr' END AS lang",
+    )
+
+
+def test_rate_to_hex_bounds():
+    assert _rate_to_hex(1.0) == "g"
+    assert _rate_to_hex(1.5) == "g"
+    assert _rate_to_hex(0.0) == ""
+    assert _rate_to_hex(-1) == ""
+    assert _rate_to_hex(0.5) == "80000000"
+    assert len(_rate_to_hex(0.123)) == 8
+
+
+def test_stratified_rates_respected(spark):
+    df = _docs(spark, 2000)
+    out = stratified_sample(
+        df, rates={"en": 1.0, "de": 0.0}, default_rate=0.5
+    )
+    counts = {r["lang"]: r["n"] for r in
+              out.groupBy("lang").count().withColumnRenamed("count", "n").collect()}
+    assert counts["en"] == 500          # rate 1.0 keeps every en row
+    assert "de" not in counts           # rate 0.0 keeps none
+    assert 400 < counts["fr"] < 600     # ~50% of 1000
+
+
+def test_stratified_deterministic_and_partition_stable(spark):
+    df = _docs(spark)
+    a = {r["doc_id"] for r in stratified_sample(df, default_rate=0.3).collect()}
+    b = {r["doc_id"] for r in
+         stratified_sample(df.repartition(7), default_rate=0.3).collect()}
+    assert a == b and a
+
+
+def test_split_exhaustive_and_disjoint(spark):
+    df = _docs(spark, 1000)
+    out = hash_split(df, weights={"train": 0.8, "val": 0.1, "test": 0.1})
+    assert out.count() == 1000
+    counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > 700
+
+
+def test_split_head_frozen_when_tail_grows(spark):
+    df = _docs(spark, 1000)
+    v1 = {r["doc_id"]: r["split"] for r in
+          hash_split(df, weights={"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    v2 = {r["doc_id"]: r["split"] for r in
+          hash_split(df, weights={"train": 0.8, "val": 0.15, "test": 0.05}).collect()}
+    # train unchanged; val only grows (at test's expense)
+    assert {k for k, v in v1.items() if v == "train"} == {
+        k for k, v in v2.items() if v == "train"}
+    assert {k for k, v in v1.items() if v == "val"} <= {
+        k for k, v in v2.items() if v == "val"}
+
+
+def test_split_rejects_empty_weights(spark):
+    with pytest.raises(ValueError):
+        hash_split(_docs(spark), weights={})

@@ -1665,6 +1665,130 @@ FROM documents
 """
 
 
+#: Benchmark text for q_decontaminate: a 19-token window starting at token 4
+#: of every 50th document — overlapping 13-grams exist by construction, and
+#: the same slice is restated verbatim in the oracle.
+_DECONTAM_N = 13
+_DECONTAM_SLICE_START = 4
+_DECONTAM_SLICE_LEN = _DECONTAM_N + 6
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: flag corpus docs sharing any 13-gram with a
+    benchmark synthesised from every 50th document's token window."""
+    from wpextract_spark.operators.decontam import _tokens, ngram_decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    benchmark = docs.where(F.col("doc_id") % 50 == 0).select(
+        F.array_join(
+            F.slice(_tokens("text"), _DECONTAM_SLICE_START, _DECONTAM_SLICE_LEN),
+            " ",
+        ).alias("text")
+    )
+    return ngram_decontaminate(docs, benchmark, n=_DECONTAM_N)
+
+
+def _oracle_decontaminate() -> str:
+    from wpextract_spark.operators.dedup import WS
+
+    n, st = _DECONTAM_N, _DECONTAM_SLICE_START
+    end = st + _DECONTAM_SLICE_LEN - 1
+    return rf"""
+WITH bdoc AS (
+  SELECT array_to_string(list_slice(
+           string_split_regex(trim(lower(text)), '{WS}'), {st}, {end}), ' ')
+         AS btext
+  FROM documents WHERE doc_id % 50 = 0),
+bg AS (
+  SELECT DISTINCT array_to_string(list_slice(ts, pos, pos + {n - 1}), ' ') AS gram
+  FROM (SELECT string_split_regex(trim(lower(btext)), '{WS}') AS ts FROM bdoc),
+       LATERAL unnest(generate_series(1, greatest(len(ts) - {n - 1}, 0))) AS g(pos)),
+dg AS (
+  SELECT doc_id, array_to_string(list_slice(ts, pos, pos + {n - 1}), ' ') AS gram
+  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '{WS}') AS ts
+        FROM documents),
+       LATERAL unnest(generate_series(1, greatest(len(ts) - {n - 1}, 0))) AS g(pos)),
+hits AS (SELECT doc_id, count(*) AS n FROM dg JOIN bg USING (gram) GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(hits.n, 0) AS n_contaminated_grams,
+       coalesce(hits.n, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits USING (doc_id)
+"""
+
+
+_SAMPLE_RATES = {"en": 0.5, "de": 0.3, "zh": 0.0}
+_SAMPLE_DEFAULT = 0.1
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wpextract_spark.operators.sampling import stratified_sample
+
+    return stratified_sample(
+        _t(spark, sf_dir, "documents"),
+        strata_col="lang",
+        rates=_SAMPLE_RATES,
+        default_rate=_SAMPLE_DEFAULT,
+    ).select("doc_id", "lang")
+
+
+def _oracle_stratified_sample() -> str:
+    from wpextract_spark.operators.sampling import _rate_to_hex
+
+    cases = " ".join(
+        f"WHEN '{s}' THEN '{_rate_to_hex(r)}'"
+        for s, r in sorted(_SAMPLE_RATES.items())
+    )
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8)
+      < CASE lang {cases} ELSE '{_rate_to_hex(_SAMPLE_DEFAULT)}' END
+"""
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from wpextract_spark.operators.sampling import hash_split
+
+    return hash_split(
+        _t(spark, sf_dir, "documents"), weights=_SPLIT_WEIGHTS
+    ).select("doc_id", "split")
+
+
+def _oracle_hash_split() -> str:
+    from wpextract_spark.operators.sampling import _rate_to_hex
+
+    labels = list(_SPLIT_WEIGHTS)
+    cum, whens = 0.0, []
+    for label in labels[:-1]:
+        cum += _SPLIT_WEIGHTS[label]
+        whens.append(f"WHEN key < '{_rate_to_hex(cum)}' THEN '{label}'")
+    return f"""
+SELECT doc_id, CASE {' '.join(whens)} ELSE '{labels[-1]}' END AS split
+FROM (SELECT doc_id, substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8) AS key
+      FROM documents)
+"""
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotent-ingest dedup: every 3rd document is 'already ingested';
+    the bloom prefilter prunes, the anti-join exactifies."""
+    from wpextract_spark.operators.dedup import incremental_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    seen = docs.where(F.col("doc_id") % 3 == 0).select("text")
+    return incremental_dedup(
+        docs, seen, expected_seen=200, fpp=0.05
+    ).select("doc_id")
+
+
+ORACLE_INCREMENTAL_DEDUP = """
+SELECT d.doc_id FROM documents d
+WHERE NOT EXISTS (
+  SELECT 1 FROM documents s
+  WHERE s.doc_id % 3 = 0 AND md5(s.text) = md5(d.text))
+"""
+
+
 QUERIES = {
     "q_extract_text_kernel": q_extract_text_kernel,
     "q_extract_link_spans": q_extract_link_spans,
@@ -1714,6 +1838,10 @@ QUERIES = {
     "q_sequence_pack": q_sequence_pack,
     "q_url_dedup": q_url_dedup,
     "q_curation_pipeline": q_curation_pipeline,
+    "q_decontaminate": q_decontaminate,
+    "q_stratified_sample": q_stratified_sample,
+    "q_hash_split": q_hash_split,
+    "q_incremental_dedup": q_incremental_dedup,
 }
 
 ORACLES = {
@@ -1765,4 +1893,8 @@ ORACLES = {
     "q_sequence_pack": _oracle_sequence_pack(),
     "q_url_dedup": ORACLE_URL_DEDUP,
     "q_curation_pipeline": _oracle_curation_pipeline(),
+    "q_decontaminate": _oracle_decontaminate(),
+    "q_stratified_sample": _oracle_stratified_sample(),
+    "q_hash_split": _oracle_hash_split(),
+    "q_incremental_dedup": ORACLE_INCREMENTAL_DEDUP,
 }
