@@ -419,3 +419,49 @@ def incremental_dedup(
     else:
         out = new_h.join(seen_h, "_h", "left_anti")
     return out.drop("_h")
+
+
+def span_dup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    max_gram_docs: int | None = 50,
+) -> DataFrame:
+    """Document pairs sharing at least one verbatim ``n``-token span.
+
+    The cross-document form of substring dedup (Lee et al.'s "Deduplicating
+    Training Data" argues span-level copies are what actually harm models:
+    quotes, syndicated paragraphs, templated sections that whole-document
+    near-dup misses). Output: ``(id_a, id_b, n_shared_spans)`` counting
+    *distinct* shared grams, ``id_a < id_b``.
+
+    Scale shape: per-doc distinct grams are md5-hashed (fixed 32-byte keys,
+    not 13-word strings) and self-joined on the hash — quadratic per shared
+    gram, so ``max_gram_docs`` drops grams appearing in more than that many
+    documents before the join. That cap is semantic as well as protective: a
+    span in 10k documents is boilerplate, not copying, and boilerplate is
+    ``line_dedup``'s job. Pass None to disable.
+    """
+    from wpextract_spark.operators.decontam import _grams, _tokens
+
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(_grams(_tokens(text_col), n))).alias("g"),
+    ).select(F.col(id_col), F.md5(F.col("g")).alias("gram"))
+    if max_gram_docs is not None:
+        freq = F.count("*").over(Window.partitionBy("gram"))
+        grams = grams.withColumn("_n", freq).where(
+            F.col("_n") <= max_gram_docs
+        ).drop("_n")
+    left = grams.alias("l")
+    right = grams.alias("r")
+    return (
+        left.join(right, F.col("l.gram") == F.col("r.gram"))
+        .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .groupBy(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+        )
+        .agg(F.count("*").alias("n_shared_spans"))
+    )

@@ -1789,6 +1789,90 @@ WHERE NOT EXISTS (
 """
 
 
+_PR_ITER = 3
+_PR_DAMPING = 0.85
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over a derived link graph (lineitem-keyed, includes dangling
+    nodes: dst space % 97 vs src space % 100)."""
+    from wpextract_spark.operators.graphrank import pagerank
+
+    lineitem = _t(spark, sf_dir, "lineitem")
+    edges = lineitem.select(
+        (F.col("l_orderkey") % 100).alias("src"),
+        (F.col("l_partkey") % 97).alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    ranks = pagerank(edges, n_iter=_PR_ITER, damping=_PR_DAMPING)
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def _oracle_pagerank() -> str:
+    """Unrolled fixed-iteration PageRank: the same update rule as the
+    operator, one CTE block per iteration, doubles throughout (DuckDB's
+    bare decimals would otherwise change the arithmetic)."""
+    d = _PR_DAMPING
+    blocks = [
+        """
+WITH e AS (
+  SELECT DISTINCT l_orderkey % 100 AS src, l_partkey % 97 AS dst
+  FROM lineitem WHERE l_orderkey % 100 <> l_partkey % 97),
+nodes AS (SELECT DISTINCT node
+          FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+deg AS (SELECT src, count(*) AS out_deg FROM e GROUP BY src),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank
+       FROM nodes)"""
+    ]
+    for i in range(1, _PR_ITER + 1):
+        p = i - 1
+        blocks.append(f"""
+c{i} AS (SELECT e.dst, sum(r{p}.rank / deg.out_deg) AS in_sum
+        FROM e JOIN r{p} ON e.src = r{p}.node JOIN deg ON e.src = deg.src
+        GROUP BY e.dst),
+d{i} AS (SELECT coalesce(sum(rank), CAST(0 AS DOUBLE)) AS dang
+        FROM r{p} WHERE node NOT IN (SELECT src FROM deg)),
+r{i} AS (SELECT n.node,
+              CAST({1.0 - d!r} AS DOUBLE) / (SELECT n FROM nn)
+              + CAST({d!r} AS DOUBLE)
+                * (coalesce(c{i}.in_sum, CAST(0 AS DOUBLE))
+                   + (SELECT dang FROM d{i}) / (SELECT n FROM nn)) AS rank
+        FROM nodes n LEFT JOIN c{i} ON n.node = c{i}.dst)""")
+    return (
+        ",".join(blocks)
+        + f"\nSELECT node, round(rank, 6) AS rank FROM r{_PR_ITER}"
+    )
+
+
+def q_span_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document verbatim-span duplication (13-token spans, gram
+    document-frequency capped at 50)."""
+    from wpextract_spark.operators.dedup import span_dup_pairs
+
+    return span_dup_pairs(
+        _t(spark, sf_dir, "documents"), n=13, max_gram_docs=50
+    )
+
+
+def _oracle_span_dups() -> str:
+    from wpextract_spark.operators.dedup import WS
+
+    return rf"""
+WITH g0 AS (
+  SELECT doc_id, md5(gram) AS gram FROM (
+    SELECT DISTINCT doc_id,
+           array_to_string(list_slice(ts, pos, pos + 12), ' ') AS gram
+    FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '{WS}') AS ts
+          FROM documents),
+         LATERAL unnest(generate_series(1, greatest(len(ts) - 12, 0))) AS g(pos))),
+f AS (SELECT gram FROM g0 GROUP BY gram HAVING count(*) <= 50),
+gg AS (SELECT g0.doc_id, g0.gram FROM g0 JOIN f USING (gram))
+SELECT l.doc_id AS id_a, r.doc_id AS id_b, count(*) AS n_shared_spans
+FROM gg l JOIN gg r ON l.gram = r.gram AND l.doc_id < r.doc_id
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q_extract_text_kernel": q_extract_text_kernel,
     "q_extract_link_spans": q_extract_link_spans,
@@ -1842,6 +1926,8 @@ QUERIES = {
     "q_stratified_sample": q_stratified_sample,
     "q_hash_split": q_hash_split,
     "q_incremental_dedup": q_incremental_dedup,
+    "q_pagerank": q_pagerank,
+    "q_span_dups": q_span_dups,
 }
 
 ORACLES = {
@@ -1897,4 +1983,6 @@ ORACLES = {
     "q_stratified_sample": _oracle_stratified_sample(),
     "q_hash_split": _oracle_hash_split(),
     "q_incremental_dedup": ORACLE_INCREMENTAL_DEDUP,
+    "q_pagerank": _oracle_pagerank(),
+    "q_span_dups": _oracle_span_dups(),
 }
