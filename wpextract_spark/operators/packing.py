@@ -116,3 +116,73 @@ def sequence_pack(
         .cast("long")
         .alias("n_seqs_spanned"),
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seq_len: int = 2048,
+    bucket_width: int = 65536,
+    eos: str = "<|eos|>",
+) -> DataFrame:
+    """Materialized packed training sequences: ``(seq_id, text, n_tokens,
+    n_docs)`` — the actual fixed-length windows, not just positions.
+
+    Built on :func:`sequence_pack`'s offsets: each document explodes into
+    one *piece* per ``seq_len`` window it straddles (one row for almost
+    every document — only boundary-crossers emit two or more), the piece is
+    a pure JVM ``slice`` of the document's token array, and one shuffle
+    keyed by ``seq_id`` assembles the windows, ordering pieces by their
+    in-window position via ``array_sort`` over (pos, piece) structs.
+    Every sequence holds exactly ``seq_len`` tokens except the final one.
+
+    Scale shape: the explode factor is ~(1 + seq_len^-1 · E[n_tokens]), so
+    the assembly shuffle carries the corpus token stream approximately
+    once; there is no skew dimension (sequence ids are uniform by
+    construction) and no driver-side state.
+    """
+    positions = sequence_pack(docs, id_col, text_col, seq_len, bucket_width)
+    tokens = F.concat(
+        F.regexp_extract_all(F.col(text_col), F.lit(BPE_SPLIT_RE), 0),
+        F.array(F.lit(eos)),
+    )
+    joined = positions.join(docs.select(F.col(id_col), tokens.alias("_toks")), id_col)
+    pieces = joined.select(
+        "offset",
+        "n_tokens",
+        "_toks",
+        F.explode(
+            F.sequence(
+                F.col("seq_index"),
+                F.col("seq_index") + F.col("n_seqs_spanned") - 1,
+            )
+        ).alias("seq_id"),
+    )
+    gstart = F.greatest(F.col("offset"), F.col("seq_id") * seq_len)
+    gend = F.least(F.col("offset") + F.col("n_tokens"), (F.col("seq_id") + 1) * seq_len)
+    placed = pieces.select(
+        "seq_id",
+        (gstart - F.col("seq_id") * F.lit(seq_len)).cast("long").alias("pos"),
+        F.slice(
+            F.col("_toks"),
+            (gstart - F.col("offset") + 1).cast("int"),
+            (gend - gstart).cast("int"),
+        ).alias("piece"),
+    )
+    # One aggregation buffer (the piece list), then a projection assembles
+    # the window — two agg expressions over collect_list would build the
+    # buffer twice.
+    grouped = placed.groupBy("seq_id").agg(
+        F.collect_list(F.struct("pos", "piece")).alias("_pieces"),
+        F.count("*").alias("n_docs"),
+    )
+    ordered = F.flatten(
+        F.transform(F.array_sort(F.col("_pieces")), lambda s: s["piece"])
+    )
+    return grouped.select(
+        "seq_id",
+        F.array_join(ordered, " ").alias("text"),
+        F.size(ordered).alias("n_tokens"),
+        "n_docs",
+    )

@@ -1547,6 +1547,50 @@ FROM o
 """
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized packed training sequences (512-token windows over the
+    corpus token stream; same knobs as q_sequence_pack)."""
+    from wpextract_spark.operators.packing import pack_sequences
+
+    return pack_sequences(
+        _t(spark, sf_dir, "documents"), seq_len=512, bucket_width=64
+    )
+
+
+def _oracle_pack_sequences() -> str:
+    from wpextract_spark.operators.textstats import BPE_SPLIT_RE
+
+    pat = BPE_SPLIT_RE.replace("'", "''")
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+         list_concat(regexp_extract_all(text, '{pat}', 0), ['<|eos|>']) AS ts
+  FROM documents),
+o AS (
+  SELECT doc_id, ts, len(ts) AS n_tokens,
+         CAST(coalesce(sum(len(ts)) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS off
+  FROM t),
+p AS (
+  SELECT seq, greatest(off, seq * 512) AS gstart,
+         least(off + n_tokens, (seq + 1) * 512) AS gend, off, ts
+  FROM o,
+       LATERAL unnest(generate_series(off // 512,
+                                      (off + n_tokens - 1) // 512)) AS g(seq)),
+placed AS (
+  SELECT seq, gstart - seq * 512 AS pos,
+         list_slice(ts, CAST(gstart - off + 1 AS BIGINT),
+                    CAST(gend - off AS BIGINT)) AS piece
+  FROM p)
+SELECT seq AS seq_id,
+       array_to_string(flatten(list(piece ORDER BY pos)), ' ') AS text,
+       len(flatten(list(piece ORDER BY pos))) AS n_tokens,
+       count(*) AS n_docs
+FROM placed GROUP BY seq
+"""
+
+
 def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-URL dedup over deterministically-messy URLs: consecutive
     doc pairs share a page behind different surface forms (case, default
@@ -1928,6 +1972,7 @@ QUERIES = {
     "q_incremental_dedup": q_incremental_dedup,
     "q_pagerank": q_pagerank,
     "q_span_dups": q_span_dups,
+    "q_pack_sequences": q_pack_sequences,
 }
 
 ORACLES = {
@@ -1985,4 +2030,5 @@ ORACLES = {
     "q_incremental_dedup": ORACLE_INCREMENTAL_DEDUP,
     "q_pagerank": _oracle_pagerank(),
     "q_span_dups": _oracle_span_dups(),
+    "q_pack_sequences": _oracle_pack_sequences(),
 }
