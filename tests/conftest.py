@@ -1,3 +1,5 @@
+import tempfile
+
 import pytest
 
 
@@ -7,6 +9,12 @@ def spark():
 
     session = (
         SparkSession.builder.master("local[4]")
+        # Bucketed-table tests saveAsTable(); keep the warehouse out of the
+        # repo tree.
+        .config(
+            "spark.sql.warehouse.dir",
+            tempfile.mkdtemp(prefix="wpx-warehouse-"),
+        )
         .appName("wpextract-spark-tests")
         .config("spark.sql.shuffle.partitions", "4")
         .config("spark.sql.adaptive.enabled", "true")

@@ -227,3 +227,26 @@ def test_pdf_build_non_latin1(spark):
     assert rows[1]["t"] == "héllo ? wörld ?\np2"
     assert rows[1]["e"] is None
     assert rows[2]["t"] == "plain ascii\np2"
+
+
+def test_corpus_profile_exact_percentiles(spark):
+    from wpextract_spark.operators.textstats import corpus_profile
+
+    rows = [(i, "en", " ".join(["w"] * n)) for i, n in enumerate([1, 2, 3, 4, 100])]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    r = corpus_profile(df).collect()[0]
+    assert r["n_docs"] == 5 and r["total_tokens"] == 110
+    assert r["p50_tokens"] == 3.0          # exact interpolated median
+    assert r["max_tokens"] == 100
+    assert abs(r["mean_tokens"] - 22.0) < 1e-9
+
+
+def test_corpus_profile_approx_mode_runs(spark):
+    from wpextract_spark.operators.textstats import corpus_profile
+
+    rows = [(i, "en" if i % 2 else "de", "a b c") for i in range(20)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    out = {r["lang"]: r for r in corpus_profile(df, approx=True).collect()}
+    assert set(out) == {"en", "de"}
+    # every doc is 3 tokens; any percentile sketch must say exactly 3
+    assert out["en"]["p50_tokens"] == 3.0 and out["en"]["p95_tokens"] == 3.0

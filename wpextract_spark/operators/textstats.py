@@ -192,3 +192,43 @@ def bpe_token_stats(
         n_ws.alias("n_ws_tokens"),
         F.round(n_bpe / F.greatest(n_ws, F.lit(1)), 6).alias("tokens_per_word"),
     )
+
+
+def corpus_profile(
+    docs: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    approx: bool = False,
+) -> DataFrame:
+    """Per-group corpus shape report: ``(group, n_docs, total_tokens,
+    mean_tokens, p50_tokens, p95_tokens, max_tokens)`` over whitespace
+    token counts — the summary a pipeline prints before/after every
+    curation stage.
+
+    ``approx=True`` (the 100 TB path) uses ``approx_percentile`` — a
+    fixed-size mergeable sketch per group, so the aggregation stays one
+    map-side-combined shuffle regardless of corpus size. ``approx=False``
+    computes exact interpolated percentiles (Spark's ``percentile`` buffers
+    each group's values — fine up to millions of rows per group, and
+    bit-identical to DuckDB's ``quantile_cont``, which is what the oracle
+    gate checks; the sketch path is checked rows-only by the same query
+    shape).
+    """
+    n_tokens = F.size(_words(text_col)).cast("long")
+    pct = (
+        (lambda q: F.expr(f"approx_percentile(_nt, {q}, 10000)").cast("double"))
+        if approx
+        else (lambda q: F.percentile(F.col("_nt"), F.lit(q)))
+    )
+    return (
+        docs.select(F.col(group_col), n_tokens.alias("_nt"))
+        .groupBy(group_col)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_nt").alias("total_tokens"),
+            F.round(F.avg("_nt"), 6).alias("mean_tokens"),
+            F.round(pct(0.5), 6).alias("p50_tokens"),
+            F.round(pct(0.95), 6).alias("p95_tokens"),
+            F.max("_nt").alias("max_tokens"),
+        )
+    )

@@ -1833,6 +1833,30 @@ WHERE NOT EXISTS (
 """
 
 
+def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus shape (exact percentiles — bit-identical to
+    DuckDB's quantile_cont; approx_percentile is the 100 TB path)."""
+    from wpextract_spark.operators.textstats import corpus_profile
+
+    return corpus_profile(_t(spark, sf_dir, "documents"), group_col="lang")
+
+
+ORACLE_CORPUS_PROFILE = rf"""
+WITH t AS (
+  SELECT lang,
+         CAST(len(string_split_regex(trim(text), '{WS_SQL}')) AS BIGINT) AS nt
+  FROM documents)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(nt) AS BIGINT) AS total_tokens,
+       round(avg(nt), 6) AS mean_tokens,
+       round(quantile_cont(nt, 0.5), 6) AS p50_tokens,
+       round(quantile_cont(nt, 0.95), 6) AS p95_tokens,
+       max(nt) AS max_tokens
+FROM t GROUP BY lang
+"""
+
+
 _PR_ITER = 3
 _PR_DAMPING = 0.85
 
@@ -1973,6 +1997,7 @@ QUERIES = {
     "q_pagerank": q_pagerank,
     "q_span_dups": q_span_dups,
     "q_pack_sequences": q_pack_sequences,
+    "q_corpus_profile": q_corpus_profile,
 }
 
 ORACLES = {
@@ -2031,4 +2056,5 @@ ORACLES = {
     "q_pagerank": _oracle_pagerank(),
     "q_span_dups": _oracle_span_dups(),
     "q_pack_sequences": _oracle_pack_sequences(),
+    "q_corpus_profile": ORACLE_CORPUS_PROFILE,
 }
