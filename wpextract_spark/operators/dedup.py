@@ -465,3 +465,41 @@ def span_dup_pairs(
         )
         .agg(F.count("*").alias("n_shared_spans"))
     )
+
+
+def simhash_expr(text_col: str = "text", bits: int = 64):
+    """Per-row SimHash as a pure column expression — bit-identical to
+    :func:`simhash` (same hash family) but with NO aggregation/shuffle:
+    the bit votes fold over the word array via ``aggregate``/``zip_with``
+    inside the row. This is the form a *streaming* pipeline needs — a
+    groupBy-based signature would be a second stateful operator in front
+    of the dedup state store, which Structured Streaming disallows — and
+    the form any map-only stage should prefer; the batch operator keeps
+    explode+groupBy for the map-side partial-agg shape at corpus scale.
+    """
+    if bits > 64:
+        raise ValueError("bits > 64 not supported (two md5s give 64 nibbles)")
+    words = F.array_distinct(_words(text_col))
+    if bits > 32:
+        hashes = F.transform(
+            words, lambda w: F.concat(F.md5(w), F.md5(F.concat(F.lit("#"), w)))
+        )
+    else:
+        hashes = F.transform(words, lambda w: F.md5(w))
+    one_hash_votes = lambda h: F.transform(  # noqa: E731
+        F.sequence(F.lit(1), F.lit(bits)),
+        lambda i: F.when(
+            h.substr(i, F.lit(1)).isin(*"89abcdef"), F.lit(1)
+        ).otherwise(F.lit(-1)),
+    )
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(acc, one_hash_votes(h), lambda a, b: a + b),
+    )
+    return F.array_join(
+        F.transform(
+            votes, lambda v: F.when(v > 0, F.lit("1")).otherwise(F.lit("0"))
+        ),
+        "",
+    )
