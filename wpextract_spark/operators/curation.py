@@ -33,12 +33,17 @@ from wpextract_spark.operators.dedup import (
 )
 
 
+#: Stage names in pipeline (and attribution) order.
+CURATION_STAGES = ("gopher", "c4", "exact_dup", "near_dup")
+
+
 def curation_pipeline(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     exact_key_words: int | None = 5,
     jaccard_threshold: float = 0.05,
+    stages: tuple[str, ...] = CURATION_STAGES,
 ) -> DataFrame:
     """Per-document verdict: ``(id, gopher_keep, c4_keep, exact_keep,
     neardup_keep, keep, reject_reason)``.
@@ -47,37 +52,59 @@ def curation_pipeline(
     (None = full text). ``reject_reason`` is the FIRST failing stage in
     pipeline order (gopher, c4, exact_dup, near_dup) or '' when kept —
     mirroring how a staged job would attribute drops.
+
+    ``stages`` selects which passes run (real pipelines tune this per
+    corpus — C4's terminal-punctuation rule, e.g., is wrong for code or
+    forum text). A disabled stage contributes ``keep=true`` and its flag
+    column stays in the schema, so consumers are shape-stable.
     """
-    g = gopher_quality_flags(docs, id_col, text_col).select(
-        id_col, F.col("keep").alias("gopher_keep")
-    )
-    c = c4_line_filter(docs, id_col, text_col).select(
-        id_col, F.col("keep").alias("c4_keep")
-    )
+    unknown = set(stages) - set(CURATION_STAGES)
+    if unknown:
+        raise ValueError(f"unknown curation stages: {sorted(unknown)}")
+    base = docs.select(id_col)
 
-    if exact_key_words is None:
-        key = F.md5(F.col(text_col))
-    else:
-        key = F.md5(
-            F.concat_ws(
-                " ",
-                F.slice(F.split(F.trim(F.col(text_col)), WS), 1, exact_key_words),
-            )
+    if "gopher" in stages:
+        g = gopher_quality_flags(docs, id_col, text_col).select(
+            id_col, F.col("keep").alias("gopher_keep")
         )
-    ew = Window.partitionBy("_key")
-    e = (
-        docs.select(F.col(id_col), key.alias("_key"))
-        .withColumn("exact_keep", F.col(id_col) == F.min(id_col).over(ew))
-        .drop("_key")
-    )
+    else:
+        g = base.select(id_col, F.lit(True).alias("gopher_keep"))
+    if "c4" in stages:
+        c = c4_line_filter(docs, id_col, text_col).select(
+            id_col, F.col("keep").alias("c4_keep")
+        )
+    else:
+        c = base.select(id_col, F.lit(True).alias("c4_keep"))
 
-    cands = lsh_candidate_pairs(docs, id_col, text_col, k=8, bands=2, max_bucket=100)
-    pairs = ngram_jaccard_pairs(
-        docs, id_col, text_col, n=3, threshold=jaccard_threshold, candidates=cands
-    )
-    nd = near_dup_keep_list(docs, pairs, id_col).select(
-        id_col, F.col("keep").alias("neardup_keep")
-    )
+    if "exact_dup" in stages:
+        if exact_key_words is None:
+            key = F.md5(F.col(text_col))
+        else:
+            key = F.md5(
+                F.concat_ws(
+                    " ",
+                    F.slice(F.split(F.trim(F.col(text_col)), WS), 1, exact_key_words),
+                )
+            )
+        ew = Window.partitionBy("_key")
+        e = (
+            docs.select(F.col(id_col), key.alias("_key"))
+            .withColumn("exact_keep", F.col(id_col) == F.min(id_col).over(ew))
+            .drop("_key")
+        )
+    else:
+        e = base.select(id_col, F.lit(True).alias("exact_keep"))
+
+    if "near_dup" in stages:
+        cands = lsh_candidate_pairs(docs, id_col, text_col, k=8, bands=2, max_bucket=100)
+        pairs = ngram_jaccard_pairs(
+            docs, id_col, text_col, n=3, threshold=jaccard_threshold, candidates=cands
+        )
+        nd = near_dup_keep_list(docs, pairs, id_col).select(
+            id_col, F.col("keep").alias("neardup_keep")
+        )
+    else:
+        nd = base.select(id_col, F.lit(True).alias("neardup_keep"))
 
     out = g.join(c, id_col).join(e, id_col).join(nd, id_col)
     keep = (
