@@ -74,3 +74,36 @@ def test_cli_optional_args_default_none(tmp_path):
     assert args.scrape_root is None
     assert args.json_prefix is None
     assert args.log is None and args.verbose is False
+
+
+def test_build_corpus_cli(spark, tmp_path):
+    import json as _json
+
+    from wpextract_spark.cli import main
+    from wpextract_spark.sources.synth import generate_pages
+
+    pages_path = str(tmp_path / "pages")
+    generate_pages(spark, n_pages=40, seed=5, partitions=2).write.parquet(pages_path)
+    out = str(tmp_path / "corpus")
+    rc = main(
+        [
+            "build-corpus", pages_path, out,
+            "--seq-len", "64", "--seqs-per-shard", "8",
+            "--skip-stage", "c4",
+        ]
+    )
+    assert rc == 0
+    with open(out + "/metrics.json") as fh:
+        m = _json.load(fh)
+    assert m["stages"]["extract"]["in"] == 40
+    assert "c4" not in m["stages"]["curate"]["rejects_by_reason"]
+
+
+def test_build_corpus_cli_rejects_nonempty_out(spark, tmp_path):
+    from wpextract_spark.cli import main
+
+    out = tmp_path / "full"
+    out.mkdir()
+    (out / "junk").write_text("x")
+    rc = main(["build-corpus", str(tmp_path), str(out)])
+    assert rc == 2

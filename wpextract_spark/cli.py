@@ -94,6 +94,33 @@ def build_parser() -> argparse.ArgumentParser:
         help="Also export entities as parquet tables under OUT_DIR/tables",
     )
     ex.set_defaults(func=cmd_extract)
+
+    cb = sub.add_parser(
+        "build-corpus",
+        help="Run the full training-corpus build over a pages table.",
+        description=(
+            "Extract, curate, (optionally) decontaminate, split, pack, and "
+            "shard a Common-Crawl-style pages parquet table "
+            "(url, warc_ts, html, text, lang) into a training corpus. "
+            "Writes train shards, val/test documents, and metrics.json."
+        ),
+    )
+    cb.add_argument("pages", type=Path, help="pages parquet path")
+    cb.add_argument("out_dir", type=Path, metavar="DIRECTORY")
+    cb.add_argument(
+        "--benchmark", type=Path, default=None,
+        help="parquet of benchmark docs (a 'text' column) to decontaminate against",
+    )
+    cb.add_argument("--seq-len", type=int, default=2048)
+    cb.add_argument("--seqs-per-shard", type=int, default=1024)
+    cb.add_argument(
+        "--skip-stage", action="append", default=[],
+        choices=["gopher", "c4", "exact_dup", "near_dup"],
+        help="curation stage to disable (repeatable)",
+    )
+    cb.add_argument("--no-curate", action="store_true")
+    cb.add_argument("--master", default=None)
+    cb.set_defaults(func=cmd_build_corpus)
     return parser
 
 
@@ -137,6 +164,39 @@ def cmd_extract(args: argparse.Namespace) -> int:
         logging.getLogger(__name__).info("extract summary: %s", summary)
     else:
         print(summary)
+    return 0
+
+
+def cmd_build_corpus(args: argparse.Namespace) -> int:
+    try:
+        out_dir = _empty_directory(str(args.out_dir))
+    except argparse.ArgumentTypeError as e:
+        print(f"error: argument DIRECTORY: {e}", file=sys.stderr)
+        return 2
+
+    from wpextract_spark.operators.curation import CURATION_STAGES
+    from wpextract_spark.plans.corpus_build import build_training_corpus
+    from wpextract_spark.session import get_session
+
+    spark = get_session("wpextract-spark-cli", master=args.master)
+    pages = spark.read.parquet(str(args.pages))
+    benchmark = (
+        spark.read.parquet(str(args.benchmark))
+        if args.benchmark is not None
+        else None
+    )
+    stages = tuple(s for s in CURATION_STAGES if s not in set(args.skip_stage))
+    metrics = build_training_corpus(
+        spark,
+        pages,
+        str(out_dir),
+        benchmark=benchmark,
+        curate=not args.no_curate,
+        curation_stages=stages,
+        seq_len=args.seq_len,
+        seqs_per_shard=args.seqs_per_shard,
+    )
+    print(json.dumps(metrics, default=str))
     return 0
 
 
