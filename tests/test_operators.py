@@ -250,3 +250,22 @@ def test_corpus_profile_approx_mode_runs(spark):
     assert set(out) == {"en", "de"}
     # every doc is 3 tokens; any percentile sketch must say exactly 3
     assert out["en"]["p50_tokens"] == 3.0 and out["en"]["p95_tokens"] == 3.0
+
+
+def test_vocab_build_counts_and_topk(spark):
+    from wpextract_spark.operators.textstats import vocab_build
+
+    df = spark.createDataFrame(
+        [(0, "a a b c"), (1, "a b"), (2, "c")], ["doc_id", "text"]
+    )
+    v = {r["token"]: r for r in vocab_build(df, min_count=1).collect()}
+    assert v["a"]["term_count"] == 3 and v["a"]["doc_freq"] == 2
+    assert v["c"]["term_count"] == 2 and v["c"]["doc_freq"] == 2
+    top1 = vocab_build(df, min_count=1, top_k=1).collect()
+    assert [r["token"] for r in top1] == ["a"]
+    # top-k plans as TakeOrdered (distributed partial top-k), not global sort
+    plan = (
+        vocab_build(df, min_count=1, top_k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan

@@ -104,10 +104,14 @@ def connected_components(
     is a safety bound far above the O(log^2 n) guarantee — 25 rounds covers
     graphs beyond 2^25 nodes per component chain.
     """
-    e = _normalize_edges(edges, src, dst).localCheckpoint(eager=True)
+    # Lazy checkpoints: the fingerprint action right after is what
+    # materializes them, so each round runs ONE Spark job (an eager
+    # checkpoint would run its own job first and double the per-round
+    # latency — pure driver overhead on a 3-6 round convergence).
+    e = _normalize_edges(edges, src, dst).localCheckpoint(eager=False)
     fp = _fingerprint(e)
     for _ in range(max_rounds):
-        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        e2 = _small_star(_large_star(e)).localCheckpoint(eager=False)
         fp2 = _fingerprint(e2)
         e = e2
         if fp2 == fp:

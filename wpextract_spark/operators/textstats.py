@@ -232,3 +232,37 @@ def corpus_profile(
             F.max("_nt").alias("max_tokens"),
         )
     )
+
+
+def vocab_build(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 2,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Corpus vocabulary: ``(token, term_count, doc_freq)`` — the tokenizer-
+    training / feature-hashing precursor every text pipeline runs once.
+
+    One explode + one groupBy with map-side partial aggregation; the
+    ``count(distinct doc)`` uses Spark's expand-based distinct aggregate
+    (still one shuffle keyed by token — uniform unless the corpus is one
+    word, and `min_count` prunes the heavy tail before any ordering).
+    ``top_k`` selects via orderBy+limit — Spark plans TakeOrdered (per-
+    partition partial top-k merged on the driver), NOT a global sort, so
+    the selection is scale-safe. Ties broken by token for determinism.
+    """
+    words = docs.select(
+        F.col(id_col), F.explode(_words(text_col)).alias("token")
+    )
+    vocab = (
+        words.groupBy("token")
+        .agg(
+            F.count("*").alias("term_count"),
+            F.countDistinct(id_col).alias("doc_freq"),
+        )
+        .where(F.col("term_count") >= min_count)
+    )
+    if top_k is not None:
+        vocab = vocab.orderBy(F.desc("term_count"), F.asc("token")).limit(top_k)
+    return vocab

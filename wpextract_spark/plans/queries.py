@@ -1833,6 +1833,26 @@ WHERE NOT EXISTS (
 """
 
 
+def q_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-200 corpus vocabulary with term and document frequencies."""
+    from wpextract_spark.operators.textstats import vocab_build
+
+    return vocab_build(
+        _t(spark, sf_dir, "documents"), min_count=2, top_k=200
+    )
+
+
+ORACLE_VOCAB_BUILD = rf"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(text), '{WS_SQL}')) AS token
+  FROM documents)
+SELECT token, count(*) AS term_count, count(DISTINCT doc_id) AS doc_freq
+FROM w GROUP BY token HAVING count(*) >= 2
+ORDER BY term_count DESC, token LIMIT 200
+"""
+
+
 def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus shape (exact percentiles — bit-identical to
     DuckDB's quantile_cont; approx_percentile is the 100 TB path)."""
@@ -1998,6 +2018,7 @@ QUERIES = {
     "q_span_dups": q_span_dups,
     "q_pack_sequences": q_pack_sequences,
     "q_corpus_profile": q_corpus_profile,
+    "q_vocab_build": q_vocab_build,
 }
 
 ORACLES = {
@@ -2057,4 +2078,5 @@ ORACLES = {
     "q_span_dups": _oracle_span_dups(),
     "q_pack_sequences": _oracle_pack_sequences(),
     "q_corpus_profile": ORACLE_CORPUS_PROFILE,
+    "q_vocab_build": ORACLE_VOCAB_BUILD,
 }
