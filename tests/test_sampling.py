@@ -72,3 +72,27 @@ def test_split_head_frozen_when_tail_grows(spark):
 def test_split_rejects_empty_weights(spark):
     with pytest.raises(ValueError):
         hash_split(_docs(spark), weights={})
+
+
+def test_rate_to_hex_monotone_hypothesis():
+    from hypothesis import given, strategies as st
+
+    @given(st.floats(min_value=0, max_value=1), st.floats(min_value=0, max_value=1))
+    def check(r1, r2):
+        a, b = sorted([r1, r2])
+        # monotone thresholds => monotone (nested) samples for free
+        assert _rate_to_hex(a) <= _rate_to_hex(b)
+
+    check()
+
+
+def test_nested_rates_give_nested_samples(spark):
+    df = _docs(spark, 500)
+    keep = {}
+    for rate in (0.2, 0.5, 0.8):
+        keep[rate] = {
+            r["doc_id"]
+            for r in stratified_sample(df, rates={}, default_rate=rate).collect()
+        }
+    assert keep[0.2] <= keep[0.5] <= keep[0.8]
+    assert len(keep[0.2]) < len(keep[0.8])
