@@ -1853,6 +1853,32 @@ ORDER BY term_count DESC, token LIMIT 200
 """
 
 
+def q_tfidf_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse hashed TF-IDF rows (dim=256, min_df=2)."""
+    from wpextract_spark.operators.vectorize import tfidf_vectors
+
+    return tfidf_vectors(
+        _t(spark, sf_dir, "documents"), dim=256, min_df=2
+    )
+
+
+ORACLE_TFIDF = rf"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '{WS_SQL}')) AS token
+  FROM documents),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok
+       GROUP BY token HAVING count(DISTINCT doc_id) >= 2),
+n AS (SELECT count(*) AS n FROM documents)
+SELECT doc_id,
+       ('0x' || substr(md5(token), 1, 8))::BIGINT % 256 AS bucket,
+       round(sum(tf * (ln((n + 1.0) / (df + 1.0)) + 1)), 6) AS weight
+FROM tf JOIN df USING (token) CROSS JOIN n
+GROUP BY 1, 2
+"""
+
+
 def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus shape (exact percentiles — bit-identical to
     DuckDB's quantile_cont; approx_percentile is the 100 TB path)."""
@@ -2019,6 +2045,7 @@ QUERIES = {
     "q_pack_sequences": q_pack_sequences,
     "q_corpus_profile": q_corpus_profile,
     "q_vocab_build": q_vocab_build,
+    "q_tfidf_vectors": q_tfidf_vectors,
 }
 
 ORACLES = {
@@ -2079,4 +2106,5 @@ ORACLES = {
     "q_pack_sequences": _oracle_pack_sequences(),
     "q_corpus_profile": ORACLE_CORPUS_PROFILE,
     "q_vocab_build": ORACLE_VOCAB_BUILD,
+    "q_tfidf_vectors": ORACLE_TFIDF,
 }
