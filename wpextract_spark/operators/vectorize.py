@@ -40,13 +40,21 @@ def tfidf_vectors(
     """Sparse hashed TF-IDF: ``(id, bucket, weight)`` rows, weight rounded
     to 6 decimals. Tokens with document frequency < ``min_df`` are dropped
     (the hashing trick's noise-floor knob)."""
+    from pyspark.sql import Window
+
     tokens = docs.select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), WS)).alias("token"),
     )
     tf = tokens.groupBy(id_col, "token").agg(F.count("*").alias("tf"))
-    df_ = tokens.groupBy("token").agg(
-        F.countDistinct(id_col).alias("df")
+    # Document frequency as a WINDOW over tf (one row per (doc, token), so
+    # count over the token partition == distinct-doc count): one linear
+    # dataflow — the corpus is exploded and shuffled exactly once, with no
+    # df join and no duplicated tf subtree (a join-based df would make
+    # Catalyst compute the explode+groupBy twice; cf. the materialize note
+    # in operators/packing.py).
+    with_df = tf.withColumn(
+        "df", F.count("*").over(Window.partitionBy("token"))
     ).where(F.col("df") >= min_df)
     n = docs.agg(F.count("*").alias("n"))
     bucket = (
@@ -55,8 +63,7 @@ def tfidf_vectors(
     )
     idf = F.log((F.col("n") + 1) / (F.col("df") + 1)) + 1
     return (
-        tf.join(df_, "token")
-        .crossJoin(F.broadcast(n))
+        with_df.crossJoin(F.broadcast(n))
         .select(
             F.col(id_col),
             bucket.alias("bucket"),
