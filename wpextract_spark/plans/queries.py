@@ -339,6 +339,47 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each event picks up the latest order the same
+    user had placed at event time (union-of-streams + running window — one
+    shuffle, no per-key pair blow-up; see operators/asof.py)."""
+    from wpextract_spark.operators.asof import asof_join
+
+    events = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = _t(spark, sf_dir, "orders")
+    joined = asof_join(
+        events,
+        orders,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        value_cols=["o_orderkey", "o_totalprice"],
+        right_seq="o_orderkey",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("asof_o_orderkey"),
+        F.round("asof_o_totalprice", 2).alias("asof_o_totalprice"),
+    )
+
+
+# DuckDB's native ASOF JOIN has no tie-break knob, so the oracle states the
+# exact rule (latest o_orderdate <= ts, greatest o_orderkey on date ties) as
+# a correlated LATERAL top-1 instead.
+ORACLE_ASOF_JOIN = """
+SELECT e.event_id, e.user_id,
+       o.o_orderkey AS asof_o_orderkey,
+       round(o.o_totalprice, 2) AS asof_o_totalprice
+FROM events e
+LEFT JOIN LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders o
+  WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+  ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1) o ON TRUE
+"""
+
+
 # ---------------------------------------------------------------------------
 # Training-data operators
 # ---------------------------------------------------------------------------
@@ -1998,6 +2039,7 @@ QUERIES = {
     "q_pricing_summary": q_pricing_summary,
     "q_order_priority": q_order_priority,
     "q_events_hourly": q_events_hourly,
+    "q_asof_join": q_asof_join,
     "q_dedup_exact": q_dedup_exact,
     "q_minhash_signatures": q_minhash_signatures,
     "q_lsh_candidate_pairs": q_lsh_candidate_pairs,
@@ -2059,6 +2101,7 @@ ORACLES = {
     "q_pricing_summary": ORACLE_PRICING,
     "q_order_priority": ORACLE_ORDER_PRIORITY,
     "q_events_hourly": ORACLE_EVENTS_HOURLY,
+    "q_asof_join": ORACLE_ASOF_JOIN,
     "q_dedup_exact": ORACLE_DEDUP_EXACT,
     "q_minhash_signatures": ORACLE_MINHASH,
     "q_lsh_candidate_pairs": ORACLE_LSH_PAIRS,
