@@ -266,3 +266,52 @@ def vocab_build(
     if top_k is not None:
         vocab = vocab.orderBy(F.desc("term_count"), F.asc("token")).limit(top_k)
     return vocab
+
+
+def inverted_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+    postings_k: int = 5,
+) -> DataFrame:
+    """Inverted index with tf-ranked posting lists: ``(token, doc_freq,
+    postings)`` where ``postings`` is the top-``postings_k`` doc ids by
+    (term frequency DESC, doc id ASC) — the search-engine build step.
+
+    Plan: explode -> (token, doc) tf aggregation (map-side partial combine
+    shrinks the explode before its shuffle) -> per-token row_number window ->
+    collect only the <=k surviving structs per token. Both the window and
+    the final groupBy partition by token, so the second aggregation reuses
+    the window's exchange; posting lists are bounded at k entries per token
+    regardless of corpus size, so no token — however frequent — can blow up
+    a single output row. ``collect_list`` order is nondeterministic;
+    determinism comes from sorting the (rank, id) structs after collection.
+    """
+    from pyspark.sql import Window
+
+    tf = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(_words(text_col)).alias("token"))
+        .groupBy("token", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    w = Window.partitionBy("token").orderBy(F.desc("tf"), F.asc("doc_id"))
+    ranked = tf.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("doc_freq"),
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(
+                            F.col("rk") <= postings_k,
+                            F.struct(F.col("rk"), F.col("doc_id")),
+                        )
+                    )
+                ),
+                lambda s: s["doc_id"],
+            ).alias("postings"),
+        )
+        .where(F.col("doc_freq") >= min_df)
+    )

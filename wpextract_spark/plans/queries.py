@@ -380,6 +380,110 @@ LEFT JOIN LATERAL (
 """
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the event stream (30-min gap): session
+    rollups via two stacked windows over one partition-by-user exchange
+    (operators/sessionize.py)."""
+    from wpextract_spark.operators.sessionize import sessionize
+
+    return sessionize(
+        _t(spark, sf_dir, "events").select("user_id", "ts", "value"),
+        key="user_id",
+        time="ts",
+        gap_seconds=1800,
+        value="value",
+    )
+
+
+ORACLE_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (
+  SELECT user_id, ts, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM g)
+SELECT user_id, session_seq,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events,
+       epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us,
+       CAST(round(sum(value), 6) AS DOUBLE) AS sum_value
+FROM s GROUP BY 1, 2
+"""
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self band join on the event stream (same-user events within the 4
+    hours after each event, itself included) via 2x bucket replication
+    instead of a per-key cross product (operators/rangejoin.py), rolled up
+    per anchor event."""
+    from wpextract_spark.operators.rangejoin import range_join
+
+    events = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    follow = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("f_user"),
+        F.col("ts").alias("f_ts"),
+        F.col("value").alias("f_value"),
+    )
+    pairs = range_join(
+        events,
+        follow,
+        left_on="user_id",
+        right_on="f_user",
+        left_time="ts",
+        right_time="f_ts",
+        window_seconds=4 * 3600,
+    )
+    return pairs.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_follow_4h"),
+        F.round(F.sum("f_value"), 6).cast("double").alias("sum_follow_value"),
+    )
+
+
+ORACLE_RANGE_JOIN = """
+SELECT e.event_id,
+       count(*) AS n_follow_4h,
+       CAST(round(sum(f.value), 6) AS DOUBLE) AS sum_follow_value
+FROM events e
+JOIN events f
+  ON f.user_id = e.user_id
+ AND f.ts >= e.ts
+ AND f.ts <= e.ts + INTERVAL 4 HOUR
+GROUP BY 1
+"""
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index with tf-ranked, k-bounded posting lists
+    (operators/textstats.py:inverted_index)."""
+    from wpextract_spark.operators.textstats import inverted_index
+
+    return inverted_index(
+        _t(spark, sf_dir, "documents"), min_df=2, postings_k=5
+    )
+
+
+ORACLE_INVERTED_INDEX = rf"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(text), '{WS_SQL}')) AS token
+  FROM documents),
+tf AS (SELECT token, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+r AS (SELECT token, doc_id, tf,
+             row_number() OVER (PARTITION BY token
+                                ORDER BY tf DESC, doc_id) AS rk
+      FROM tf)
+SELECT token, count(*) AS doc_freq,
+       list(doc_id ORDER BY tf DESC, doc_id) FILTER (WHERE rk <= 5)
+         AS postings
+FROM r GROUP BY token HAVING count(*) >= 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # Training-data operators
 # ---------------------------------------------------------------------------
@@ -2040,6 +2144,9 @@ QUERIES = {
     "q_order_priority": q_order_priority,
     "q_events_hourly": q_events_hourly,
     "q_asof_join": q_asof_join,
+    "q_sessionize": q_sessionize,
+    "q_range_join": q_range_join,
+    "q_inverted_index": q_inverted_index,
     "q_dedup_exact": q_dedup_exact,
     "q_minhash_signatures": q_minhash_signatures,
     "q_lsh_candidate_pairs": q_lsh_candidate_pairs,
@@ -2102,6 +2209,9 @@ ORACLES = {
     "q_order_priority": ORACLE_ORDER_PRIORITY,
     "q_events_hourly": ORACLE_EVENTS_HOURLY,
     "q_asof_join": ORACLE_ASOF_JOIN,
+    "q_sessionize": ORACLE_SESSIONIZE,
+    "q_range_join": ORACLE_RANGE_JOIN,
+    "q_inverted_index": ORACLE_INVERTED_INDEX,
     "q_dedup_exact": ORACLE_DEDUP_EXACT,
     "q_minhash_signatures": ORACLE_MINHASH,
     "q_lsh_candidate_pairs": ORACLE_LSH_PAIRS,
