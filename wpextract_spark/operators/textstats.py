@@ -315,3 +315,67 @@ def inverted_index(
         )
         .where(F.col("doc_freq") >= min_df)
     )
+
+
+def collocations(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_pair_count: int = 5,
+) -> DataFrame:
+    """Bigram collocations scored by pointwise mutual information:
+    ``(w1, w2, pair_count, pmi)`` with ``pmi = ln(p(w1,w2) / (p(w1)p(w2)))``
+    over the bigram/unigram distributions — the phrase-mining step of a
+    tokenizer/embedding pipeline.
+
+    Bigrams come from ``slice``+``arrays_zip`` (never ``sequence(1, n)``,
+    which DESCENDS when n < 1), so docs with fewer than two tokens
+    contribute nothing. Aggregations are plain token-keyed groupBys with
+    map-side combine; the two unigram-count joins are token-keyed shuffles
+    (broadcast-eligible for bounded vocabularies — AQE decides from stats).
+    The PMI ratio is computed in ONE double expression in the exact form the
+    SQL oracle restates, then rounded to 6 decimals so engine ulp noise
+    cannot reach a comparator. Corpus totals (unigram/bigram counts) are
+    1-row aggregates broadcast-cross-joined in — no eager ``.count()``
+    action, the whole operator stays one lazy dataflow.
+    """
+    toks = docs.select(_words(text_col).alias("ts"))
+    uni = toks.select(F.explode("ts").alias("w"))
+    ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    pairs = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("ts"), 1, F.size("ts") - 1).alias("w1"),
+                F.slice(F.col("ts"), 2, F.size("ts") - 1).alias("w2"),
+            )
+        ).alias("bg")
+    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    totals = F.broadcast(
+        uni.agg(F.count(F.lit(1)).cast("double").alias("n_uni")).crossJoin(
+            pairs.agg(F.count(F.lit(1)).cast("double").alias("n_big"))
+        )
+    )
+    pcnt = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .where(F.col("pair_count") >= min_pair_count)
+    )
+    c1 = ucnt.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    c2 = ucnt.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    return (
+        pcnt.join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(totals)
+        .select(
+            "w1",
+            "w2",
+            "pair_count",
+            F.round(
+                F.log(
+                    (F.col("pair_count") * F.col("n_uni") * F.col("n_uni"))
+                    / (F.col("n_big") * F.col("c1") * F.col("c2"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

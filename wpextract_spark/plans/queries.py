@@ -467,6 +467,59 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram collocations scored by PMI
+    (operators/textstats.py:collocations)."""
+    from wpextract_spark.operators.textstats import collocations
+
+    return collocations(_t(spark, sf_dir, "documents"), min_pair_count=5)
+
+
+ORACLE_COLLOCATIONS = rf"""
+WITH tok AS (
+  SELECT string_split_regex(trim(text), '{WS_SQL}') AS ts FROM documents),
+uni AS (SELECT unnest(ts) AS w FROM tok),
+ucnt AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+big AS (
+  SELECT ts[i] AS w1, ts[i + 1] AS w2
+  FROM tok, unnest(range(1, len(ts))) AS r(i)),
+tot AS (
+  SELECT (SELECT CAST(count(*) AS DOUBLE) FROM uni) AS n_uni,
+         (SELECT CAST(count(*) AS DOUBLE) FROM big) AS n_big),
+pcnt AS (
+  SELECT w1, w2, count(*) AS pair_count FROM big
+  GROUP BY 1, 2 HAVING count(*) >= 5)
+SELECT p.w1, p.w2, p.pair_count,
+       round(ln((p.pair_count * t.n_uni * t.n_uni)
+                / (t.n_big * c1.c * c2.c)), 6) AS pmi
+FROM pcnt p
+JOIN ucnt c1 ON c1.w = p.w1
+JOIN ucnt c2 ON c2.w = p.w2
+CROSS JOIN tot t
+"""
+
+
+def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP CUBE over (event_type, hour): all four grouping sets in one
+    pass (Spark plans a single Expand + hash aggregate — one shuffle for
+    every subtotal level, not one scan per level)."""
+    events = _t(spark, sf_dir, "events")
+    return events.cube(
+        F.col("event_type"), F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).cast("double").alias("sum_value"),
+    )
+
+
+ORACLE_EVENTS_CUBE = """
+SELECT event_type, date_trunc('hour', ts) AS hour,
+       count(*) AS n_events,
+       CAST(round(sum(value), 2) AS DOUBLE) AS sum_value
+FROM events GROUP BY CUBE (event_type, date_trunc('hour', ts))
+"""
+
+
 ORACLE_INVERTED_INDEX = rf"""
 WITH tok AS (
   SELECT doc_id,
@@ -2147,6 +2200,8 @@ QUERIES = {
     "q_sessionize": q_sessionize,
     "q_range_join": q_range_join,
     "q_inverted_index": q_inverted_index,
+    "q_collocations": q_collocations,
+    "q_events_cube": q_events_cube,
     "q_dedup_exact": q_dedup_exact,
     "q_minhash_signatures": q_minhash_signatures,
     "q_lsh_candidate_pairs": q_lsh_candidate_pairs,
@@ -2212,6 +2267,8 @@ ORACLES = {
     "q_sessionize": ORACLE_SESSIONIZE,
     "q_range_join": ORACLE_RANGE_JOIN,
     "q_inverted_index": ORACLE_INVERTED_INDEX,
+    "q_collocations": ORACLE_COLLOCATIONS,
+    "q_events_cube": ORACLE_EVENTS_CUBE,
     "q_dedup_exact": ORACLE_DEDUP_EXACT,
     "q_minhash_signatures": ORACLE_MINHASH,
     "q_lsh_candidate_pairs": ORACLE_LSH_PAIRS,
