@@ -2,9 +2,10 @@
 
 ``entry`` runs the flagship extraction over a deterministic synthetic pages
 table derived from sf0.001; ``queries``/``oracle_sql`` expose every
-implemented operator from SURVEY.md §2 plus the training-data operators, each
-checked against a DuckDB oracle at sf0.01 (rows-only for the two genuinely
-non-SQL-expressible Python kernels, marked in plans/queries.py).
+implemented operator from SURVEY.md §2 plus the training-data operators,
+EVERY one checked against a full DuckDB oracle at sf0.01 (no rows-only
+entries: the extraction kernels compare against construction-derived
+expected columns, lang-id against stopword voting restated in SQL).
 """
 
 from __future__ import annotations
