@@ -136,17 +136,10 @@ def repetition_stats(
     return base.join(top, on=id_col, how="left").select(*out_cols)
 
 
-def gopher_quality_flags(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
-) -> DataFrame:
-    """Gopher-rule quality flags: ``(id, n_words, mean_word_len,
-    alpha_word_frac, symbol_ratio, keep)``.
-
-    ``keep`` is the conjunction of the published MassiveText rules this
-    corpus can evaluate: word count in [50, 100k], mean word length in
-    [3, 10], >=80% of words contain a letter, <10% symbol(#/ellipsis)-to-word
-    ratio. Pure per-row JVM expressions — no shuffle, whole-stage codegen.
-    """
+def _gopher_metrics(text_col: str) -> dict[str, Column]:
+    """The Gopher rule metrics as named column expressions (shared by the
+    standalone flags operator and the fused curation pipeline, which embeds
+    ``keep`` directly in its single-lineage flag projection)."""
     words = _words(text_col)
     n_words = F.size(words)
     # sum(len(word)) == len(text) minus separator runs: one regexp pass.
@@ -167,13 +160,39 @@ def gopher_quality_flags(
         & (alpha_frac >= GOPHER_MIN_ALPHA_FRAC)
         & (symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO)
     )
+    return {
+        "n_words": n_words,
+        "mean_len": mean_len,
+        "alpha_frac": alpha_frac,
+        "symbol_ratio": symbol_ratio,
+        "keep": keep,
+    }
+
+
+def gopher_keep_expr(text_col: str = "text") -> Column:
+    """The Gopher ``keep`` verdict as a bare column expression."""
+    return _gopher_metrics(text_col)["keep"]
+
+
+def gopher_quality_flags(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-rule quality flags: ``(id, n_words, mean_word_len,
+    alpha_word_frac, symbol_ratio, keep)``.
+
+    ``keep`` is the conjunction of the published MassiveText rules this
+    corpus can evaluate: word count in [50, 100k], mean word length in
+    [3, 10], >=80% of words contain a letter, <10% symbol(#/ellipsis)-to-word
+    ratio. Pure per-row JVM expressions — no shuffle, whole-stage codegen.
+    """
+    m = _gopher_metrics(text_col)
     return docs.select(
         F.col(id_col),
-        n_words.alias("n_words"),
-        F.round(mean_len, 6).alias("mean_word_len"),
-        F.round(alpha_frac, 6).alias("alpha_word_frac"),
-        F.round(symbol_ratio, 6).alias("symbol_ratio"),
-        keep.alias("keep"),
+        m["n_words"].alias("n_words"),
+        F.round(m["mean_len"], 6).alias("mean_word_len"),
+        F.round(m["alpha_frac"], 6).alias("alpha_word_frac"),
+        F.round(m["symbol_ratio"], 6).alias("symbol_ratio"),
+        m["keep"].alias("keep"),
     )
 
 
@@ -235,19 +254,9 @@ C4_MIN_KEPT_LINES = 3
 C4_TERMINAL_RE = r'[.!?"]$'
 
 
-def c4_line_filter(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
-) -> DataFrame:
-    """C4 cleaning heuristics: keep only lines that end in terminal
-    punctuation, have >= 5 words, and don't mention javascript; flag pages
-    with "lorem ipsum" or '{' and those keeping < 3 lines. Output:
-    ``(id, text_clean, n_lines, n_kept, keep)``.
-
-    Every rule is a per-row array expression (split -> filter -> join) — no
-    explode, no shuffle, one whole-stage-codegen pass over the corpus. This
-    is the cheapest curation operator and the model for line rules at scale:
-    anything expressible per-document should never leave the row.
-    """
+def _c4_parts(text_col: str) -> dict[str, Column]:
+    """The C4 rule pieces as named column expressions (shared by the
+    standalone filter and the fused curation pipeline)."""
     lines = F.split(F.col(text_col), "\n", -1)
     trimmed = lambda l: F.trim(l)  # noqa: E731
     keep_line = lambda l: (  # noqa: E731
@@ -262,6 +271,29 @@ def c4_line_filter(
         & ~F.col(text_col).contains("{")
         & (n_kept >= C4_MIN_KEPT_LINES)
     )
+    return {"lines": lines, "kept": kept, "n_kept": n_kept, "page_ok": page_ok}
+
+
+def c4_page_keep_expr(text_col: str = "text") -> Column:
+    """The C4 page verdict as a bare column expression."""
+    return _c4_parts(text_col)["page_ok"]
+
+
+def c4_line_filter(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """C4 cleaning heuristics: keep only lines that end in terminal
+    punctuation, have >= 5 words, and don't mention javascript; flag pages
+    with "lorem ipsum" or '{' and those keeping < 3 lines. Output:
+    ``(id, text_clean, n_lines, n_kept, keep)``.
+
+    Every rule is a per-row array expression (split -> filter -> join) — no
+    explode, no shuffle, one whole-stage-codegen pass over the corpus. This
+    is the cheapest curation operator and the model for line rules at scale:
+    anything expressible per-document should never leave the row.
+    """
+    p = _c4_parts(text_col)
+    lines, kept, n_kept, page_ok = p["lines"], p["kept"], p["n_kept"], p["page_ok"]
     return docs.select(
         F.col(id_col),
         F.concat_ws("\n", kept).alias("text_clean"),

@@ -23,8 +23,8 @@ from pyspark.sql import functions as F
 
 from wpextract_spark.operators.clustering import near_dup_keep_list
 from wpextract_spark.operators.corpusfilters import (
-    c4_line_filter,
-    gopher_quality_flags,
+    c4_page_keep_expr,
+    gopher_keep_expr,
 )
 from wpextract_spark.operators.dedup import (
     WS,
@@ -61,20 +61,22 @@ def curation_pipeline(
     unknown = set(stages) - set(CURATION_STAGES)
     if unknown:
         raise ValueError(f"unknown curation stages: {sorted(unknown)}")
-    base = docs.select(id_col)
 
-    if "gopher" in stages:
-        g = gopher_quality_flags(docs, id_col, text_col).select(
-            id_col, F.col("keep").alias("gopher_keep")
-        )
-    else:
-        g = base.select(id_col, F.lit(True).alias("gopher_keep"))
-    if "c4" in stages:
-        c = c4_line_filter(docs, id_col, text_col).select(
-            id_col, F.col("keep").alias("c4_keep")
-        )
-    else:
-        c = base.select(id_col, F.lit(True).alias("c4_keep"))
+    # The gopher/C4 verdicts are pure per-row expressions and the exact-dup
+    # verdict is one window over a derived key — all three live on ONE
+    # lineage of the corpus scan (no self-joins of docs against docs for
+    # row-local facts). Only near-dup, whose keep-set comes out of the LSH/
+    # verify/CC subplan with its own keying, joins back by id.
+    gopher_col = (
+        gopher_keep_expr(text_col) if "gopher" in stages else F.lit(True)
+    )
+    c4_col = c4_page_keep_expr(text_col) if "c4" in stages else F.lit(True)
+    flags = docs.select(
+        F.col(id_col),
+        F.col(text_col),
+        gopher_col.alias("gopher_keep"),
+        c4_col.alias("c4_keep"),
+    )
 
     if "exact_dup" in stages:
         if exact_key_words is None:
@@ -87,13 +89,14 @@ def curation_pipeline(
                 )
             )
         ew = Window.partitionBy("_key")
-        e = (
-            docs.select(F.col(id_col), key.alias("_key"))
+        flags = (
+            flags.withColumn("_key", key)
             .withColumn("exact_keep", F.col(id_col) == F.min(id_col).over(ew))
             .drop("_key")
         )
     else:
-        e = base.select(id_col, F.lit(True).alias("exact_keep"))
+        flags = flags.withColumn("exact_keep", F.lit(True))
+    flags = flags.drop(text_col)
 
     if "near_dup" in stages:
         cands = lsh_candidate_pairs(docs, id_col, text_col, k=8, bands=2, max_bucket=100)
@@ -103,10 +106,9 @@ def curation_pipeline(
         nd = near_dup_keep_list(docs, pairs, id_col).select(
             id_col, F.col("keep").alias("neardup_keep")
         )
+        out = flags.join(nd, id_col)
     else:
-        nd = base.select(id_col, F.lit(True).alias("neardup_keep"))
-
-    out = g.join(c, id_col).join(e, id_col).join(nd, id_col)
+        out = flags.withColumn("neardup_keep", F.lit(True))
     keep = (
         F.col("gopher_keep")
         & F.col("c4_keep")
