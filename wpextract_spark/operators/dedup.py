@@ -145,35 +145,52 @@ def ngram_jaccard_pairs(
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
-    # Explode the gram expression INLINE: explode over a separately projected
-    # alias column measures ~10x slower here (the generate re-evaluates the
-    # projected array), and a size()>0 pre-filter is unnecessary — explode
-    # drops empty arrays and the inner joins exclude gram-less docs.
+    if candidates is not None:
+        # Verify path: ship each doc's DISTINCT gram ARRAY to its candidate
+        # pairs (two id-keyed joins) and intersect per pair in one JVM array
+        # op. One output row per candidate — no per-gram fan-out rows, no
+        # pair re-aggregation shuffle, and sizes come free from the arrays
+        # (same shuffled bytes as exploding, minus the row overhead and two
+        # extra shuffles). common > 0 preserves the explode path's
+        # semantics: disjoint or gram-less pairs emit nothing even at
+        # threshold 0.
+        arrays = docs.select(F.col(id_col), grams.alias("gs"))
+        common = F.size(F.array_intersect("ga", "gb"))
+        return (
+            candidates.select("id_a", "id_b")
+            .join(
+                arrays.select(F.col(id_col).alias("id_a"), F.col("gs").alias("ga")),
+                "id_a",
+            )
+            .join(
+                arrays.select(F.col(id_col).alias("id_b"), F.col("gs").alias("gb")),
+                "id_b",
+            )
+            .withColumn("common", common)
+            .where(F.col("common") > 0)
+            .withColumn(
+                "jaccard",
+                F.col("common")
+                / (F.size("ga") + F.size("gb") - F.col("common")),
+            )
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard")
+        )
+
+    # Propose-free path: self-join on shared grams. Explode the gram
+    # expression INLINE: explode over a separately projected alias column
+    # measures ~10x slower here (the generate re-evaluates the projected
+    # array), and a size()>0 pre-filter is unnecessary — explode drops empty
+    # arrays and the inner joins exclude gram-less docs.
     sizes = docs.select(F.col(id_col), F.size(grams).alias("n_grams"))
     exploded = docs.select(F.col(id_col), F.explode(grams).alias("g"))
-
-    if candidates is None:
-        pairs = (
-            exploded.alias("l")
-            .join(exploded.alias("r"), F.col("l.g") == F.col("r.g"))
-            .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-            .groupBy(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
-            .agg(F.count("*").alias("common"))
-        )
-    else:
-        # (id_a, id_b) x grams-of-a, matched against grams-of-b on (id_b, g):
-        # every join keys on an id, so no gram ever fans out beyond the
-        # candidate pairs that contain it.
-        cand = candidates.select("id_a", "id_b")
-        pairs = (
-            cand.join(exploded.alias("l"), F.col("id_a") == F.col(f"l.{id_col}"))
-            .join(
-                exploded.alias("r"),
-                (F.col("id_b") == F.col(f"r.{id_col}")) & (F.col("l.g") == F.col("r.g")),
-            )
-            .groupBy("id_a", "id_b")
-            .agg(F.count("*").alias("common"))
-        )
+    pairs = (
+        exploded.alias("l")
+        .join(exploded.alias("r"), F.col("l.g") == F.col("r.g"))
+        .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .groupBy(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+    )
     return (
         pairs.join(sizes.withColumnsRenamed({id_col: "id_a", "n_grams": "na"}), "id_a")
         .join(sizes.withColumnsRenamed({id_col: "id_b", "n_grams": "nb"}), "id_b")
