@@ -54,15 +54,25 @@ def minhash_signatures(
     Hash family i is ``md5(i || ':' || word)``; the min is taken over the hex
     string (fixed-width lowercase hex, so string order == value order). Output:
     (id, sig_0..sig_{k-1}).
+
+    Entirely row-local — ``array_min`` over a ``transform`` of the distinct-
+    word array, NO explode/groupBy: the signature never shuffles, so every
+    LSH consumer starts its plan one exchange lighter. (``_words`` always
+    yields at least one element — split of an empty string is [''] — so no
+    doc row is lost and no null signature appears, matching what the old
+    explode+min aggregation produced.)
     """
-    exploded = docs.select(
-        F.col(id_col), F.explode(F.array_distinct(_words(text_col))).alias("w")
-    )
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("w")))).alias(f"sig_{i}")
-        for i in range(k)
-    ]
-    return exploded.groupBy(id_col).agg(*aggs)
+    words = F.array_distinct(_words(text_col))
+
+    # Bind i in a helper, NOT a default arg: transform() dispatches on lambda
+    # ARITY, so a two-parameter lambda would receive the element index as its
+    # second argument and silently clobber the default.
+    def _sig(i: int):
+        return F.array_min(
+            F.transform(words, lambda w: F.md5(F.concat(F.lit(f"{i}:"), w)))
+        ).alias(f"sig_{i}")
+
+    return docs.select(F.col(id_col), *[_sig(i) for i in range(k)])
 
 
 def lsh_candidate_pairs(
