@@ -224,23 +224,28 @@ def simhash(
     """
     if bits > 64:
         raise ValueError("bits > 64 not supported (two md5s give 64 nibbles)")
-    h = F.md5(F.col("w"))
-    if bits > 32:
-        h = F.concat(h, F.md5(F.concat(F.lit("#"), F.col("w"))))
-    exploded = docs.select(
-        F.col(id_col), F.explode(F.array_distinct(_words(text_col))).alias("w")
-    ).withColumn("h", h)
-    votes = [
-        F.sum(
-            F.when(F.substring("h", b + 1, 1).isin(*"89abcdef"), 1).otherwise(-1)
-        ).alias(f"v_{b}")
-        for b in range(bits)
-    ]
-    voted = exploded.groupBy(id_col).agg(*votes)
-    sig = F.concat(
-        *[F.when(F.col(f"v_{b}") > 0, F.lit("1")).otherwise(F.lit("0")) for b in range(bits)]
-    )
-    return voted.select(F.col(id_col), sig.alias("simhash"))
+
+    # Row-local: hash the distinct-word array ONCE, then each bit's vote is
+    # 2 * |words whose nibble b is set| - |words| over that array — the same
+    # +1/-1 sum the old explode + 64-sum-aggs groupBy computed, minus its
+    # corpus-wide shuffle. The signature never leaves the row.
+    def _h(w):
+        full = F.md5(w)
+        if bits > 32:
+            full = F.concat(full, F.md5(F.concat(F.lit("#"), w)))
+        return full
+
+    hs = F.transform(F.array_distinct(_words(text_col)), _h)
+    n = F.size(hs)
+
+    def _bit(b: int):
+        set_count = F.size(
+            F.filter(hs, lambda h: h.substr(b + 1, 1).isin(*"89abcdef"))
+        )
+        return F.when(set_count * 2 - n > 0, F.lit("1")).otherwise(F.lit("0"))
+
+    sig = F.concat(*[_bit(b) for b in range(bits)])
+    return docs.select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_near_dup_pairs(
