@@ -222,30 +222,9 @@ def simhash(
     ``md5('#' || w)`` (same construction in the oracles). Output:
     (id, simhash string).
     """
-    if bits > 64:
-        raise ValueError("bits > 64 not supported (two md5s give 64 nibbles)")
-
-    # Row-local: hash the distinct-word array ONCE, then each bit's vote is
-    # 2 * |words whose nibble b is set| - |words| over that array — the same
-    # +1/-1 sum the old explode + 64-sum-aggs groupBy computed, minus its
-    # corpus-wide shuffle. The signature never leaves the row.
-    def _h(w):
-        full = F.md5(w)
-        if bits > 32:
-            full = F.concat(full, F.md5(F.concat(F.lit("#"), w)))
-        return full
-
-    hs = F.transform(F.array_distinct(_words(text_col)), _h)
-    n = F.size(hs)
-
-    def _bit(b: int):
-        set_count = F.size(
-            F.filter(hs, lambda h: h.substr(b + 1, 1).isin(*"89abcdef"))
-        )
-        return F.when(set_count * 2 - n > 0, F.lit("1")).otherwise(F.lit("0"))
-
-    sig = F.concat(*[_bit(b) for b in range(bits)])
-    return docs.select(F.col(id_col), sig.alias("simhash"))
+    return docs.select(
+        F.col(id_col), simhash_expr(text_col, bits).alias("simhash")
+    )
 
 
 def simhash_near_dup_pairs(
@@ -500,38 +479,33 @@ def span_dup_pairs(
 
 
 def simhash_expr(text_col: str = "text", bits: int = 64):
-    """Per-row SimHash as a pure column expression — bit-identical to
-    :func:`simhash` (same hash family) but with NO aggregation/shuffle:
-    the bit votes fold over the word array via ``aggregate``/``zip_with``
-    inside the row. This is the form a *streaming* pipeline needs — a
-    groupBy-based signature would be a second stateful operator in front
-    of the dedup state store, which Structured Streaming disallows — and
-    the form any map-only stage should prefer; the batch operator keeps
-    explode+groupBy for the map-side partial-agg shape at corpus scale.
+    """Per-row SimHash as a pure column expression — NO aggregation, NO
+    shuffle: the signature never leaves the row. Used by the batch operator
+    (:func:`simhash` is exactly this plus an id projection) and by the
+    streaming pipeline, where a groupBy-based signature would be a second
+    stateful operator in front of the dedup state store, which Structured
+    Streaming disallows.
+
+    Formulation: hash the distinct-word array once, then bit ``b``'s vote is
+    ``2 * |words with nibble b set| - |words|`` (identical to the classic
+    per-word +1/-1 sum) via one ``filter``/``size`` scan per bit — cheaper
+    than folding per-word vote arrays, which allocates a bits-length array
+    per word.
     """
     if bits > 64:
         raise ValueError("bits > 64 not supported (two md5s give 64 nibbles)")
     words = F.array_distinct(_words(text_col))
-    if bits > 32:
-        hashes = F.transform(
-            words, lambda w: F.concat(F.md5(w), F.md5(F.concat(F.lit("#"), w)))
+
+    def _h(w):
+        return F.concat(F.md5(w), F.md5(F.concat(F.lit("#"), w))) if bits > 32 else F.md5(w)
+
+    hashes = F.transform(words, _h)
+    n = F.size(hashes)
+
+    def _bit(b: int):
+        set_count = F.size(
+            F.filter(hashes, lambda h: h.substr(b + 1, 1).isin(*"89abcdef"))
         )
-    else:
-        hashes = F.transform(words, lambda w: F.md5(w))
-    one_hash_votes = lambda h: F.transform(  # noqa: E731
-        F.sequence(F.lit(1), F.lit(bits)),
-        lambda i: F.when(
-            h.substr(i, F.lit(1)).isin(*"89abcdef"), F.lit(1)
-        ).otherwise(F.lit(-1)),
-    )
-    votes = F.aggregate(
-        hashes,
-        F.array_repeat(F.lit(0), bits),
-        lambda acc, h: F.zip_with(acc, one_hash_votes(h), lambda a, b: a + b),
-    )
-    return F.array_join(
-        F.transform(
-            votes, lambda v: F.when(v > 0, F.lit("1")).otherwise(F.lit("0"))
-        ),
-        "",
-    )
+        return F.when(set_count * 2 - n > 0, F.lit("1")).otherwise(F.lit("0"))
+
+    return F.concat(*[_bit(b) for b in range(bits)])
