@@ -14,6 +14,7 @@ semantics); the driver records a weaker rows-only check for them.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as PyWindow
 from pyspark.sql import functions as F
 
 from wpextract_spark.operators.dedup import (
@@ -454,6 +455,50 @@ JOIN events f
  AND f.ts >= e.ts
  AND f.ts <= e.ts + INTERVAL 4 HOUR
 GROUP BY 1
+"""
+
+
+def q_user_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user spend rollup ranked into deciles (NTILE) with cumulative
+    share — the classic heavy-user analytics cut. The global window runs
+    over the per-user AGGREGATE (one row per user — tiny next to the event
+    stream at any scale), with a fully deterministic order (rounded sum
+    desc, user_id) so both engines tile identically."""
+    events = _t(spark, sf_dir, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.round(F.sum("value"), 6).cast("double").alias("total_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w = PyWindow.orderBy(F.desc("total_value"), F.asc("user_id"))
+    return per_user.select(
+        "user_id",
+        "total_value",
+        "n_events",
+        F.ntile(10).over(w).alias("decile"),
+        F.round(
+            F.sum("total_value").over(
+                w.rowsBetween(PyWindow.unboundedPreceding, PyWindow.currentRow)
+            )
+            / F.sum("total_value").over(
+                PyWindow.partitionBy()
+            ),
+            6,
+        ).alias("cum_share"),
+    )
+
+
+ORACLE_USER_DECILES = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(round(sum(value), 6) AS DOUBLE) AS total_value,
+         count(*) AS n_events
+  FROM events GROUP BY 1)
+SELECT user_id, total_value, n_events,
+       ntile(10) OVER w AS decile,
+       round(sum(total_value) OVER (ORDER BY total_value DESC, user_id
+                                    ROWS UNBOUNDED PRECEDING)
+             / sum(total_value) OVER (), 6) AS cum_share
+FROM per_user WINDOW w AS (ORDER BY total_value DESC, user_id)
 """
 
 
@@ -2200,6 +2245,7 @@ QUERIES = {
     "q_sessionize": q_sessionize,
     "q_range_join": q_range_join,
     "q_inverted_index": q_inverted_index,
+    "q_user_deciles": q_user_deciles,
     "q_collocations": q_collocations,
     "q_events_cube": q_events_cube,
     "q_dedup_exact": q_dedup_exact,
@@ -2267,6 +2313,7 @@ ORACLES = {
     "q_sessionize": ORACLE_SESSIONIZE,
     "q_range_join": ORACLE_RANGE_JOIN,
     "q_inverted_index": ORACLE_INVERTED_INDEX,
+    "q_user_deciles": ORACLE_USER_DECILES,
     "q_collocations": ORACLE_COLLOCATIONS,
     "q_events_cube": ORACLE_EVENTS_CUBE,
     "q_dedup_exact": ORACLE_DEDUP_EXACT,
