@@ -3,9 +3,10 @@
 ``asof_join(left, right)`` attaches, to every left row, the single most
 recent right row whose time is ``<=`` the left row's time within the same
 key (a backward as-of join: "what was the last order this user had placed
-when this event fired?"). kdb+/pandas call this ``aj`` / ``merge_asof``;
-DuckDB ships it as ``ASOF JOIN``. Spark has no native form, and the naive
-encodings are scale-traps:
+when this event fired?"), or with ``direction="forward"`` the earliest
+right row at-or-after it ("time to next purchase"). kdb+/pandas call this
+``aj`` / ``merge_asof``; DuckDB ships it as ``ASOF JOIN``. Spark has no
+native form, and the naive encodings are scale-traps:
 
 - range-predicate join (``l.key = r.key AND r.t <= l.t``) degenerates to a
   per-key cross product that a window/row_number then prunes — quadratic in
@@ -51,19 +52,22 @@ def asof_join(
     value_cols: list[str],
     right_seq: str,
     prefix: str = "asof_",
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: latest right row with ``right_time <= left_time``
-    per key.
+    """As-of join per key: ``backward`` (default) attaches the latest right
+    row with ``right_time <= left_time``; ``forward`` the earliest right row
+    with ``right_time >= left_time`` (both bounds inclusive).
 
     Returns every ``left`` column plus ``{prefix}{c}`` for each of
-    ``value_cols`` (null when no right row precedes the left row). For a
-    forward as-of ("next right row at or after t"), negate both time
-    columns and the seq before calling.
+    ``value_cols`` (null when no right row qualifies).
 
-    ``right_seq`` breaks ties between right rows sharing (key, time): the
-    row with the greatest seq wins — pick a unique id so the result is
-    total-order deterministic.
+    ``right_seq`` breaks ties between right rows sharing (key, time)
+    deterministically: backward picks the GREATEST seq, forward the
+    SMALLEST (each is the mirror-ordered scan's last-seen row) — pick a
+    unique id so the result is total-order deterministic.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     payload = F.struct(*[F.col(c) for c in value_cols]).alias("_rv")
     r = right.select(
         F.col(right_on).alias("_k"),
@@ -82,10 +86,15 @@ def asof_join(
         *[F.col(t.name).alias(f"_l_{t.name}") for t in left.schema],
     )
     # One ordered stream per key; rows at equal _t order right-before-left
-    # (tag), right-vs-right by seq so `last` lands on the greatest seq.
+    # (tag), right-vs-right by seq so `last` lands on the winning seq.
+    # Forward is the time-mirrored scan: descending time, descending seq.
+    if direction == "backward":
+        order = [F.col("_t").asc(), F.col("_tag").asc(), F.col("_seq").asc()]
+    else:
+        order = [F.col("_t").desc(), F.col("_tag").asc(), F.col("_seq").desc()]
     w = (
         Window.partitionBy("_k")
-        .orderBy(F.col("_t").asc(), F.col("_tag").asc(), F.col("_seq").asc())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = r.unionByName(l).withColumn(

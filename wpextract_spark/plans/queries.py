@@ -381,6 +381,55 @@ LEFT JOIN LATERAL (
 """
 
 
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each click picks the user's next purchase at or
+    after the click (time-to-conversion shape) — the time-mirrored scan of
+    the same union-of-streams window (operators/asof.py)."""
+    from wpextract_spark.operators.asof import asof_join
+
+    events = _t(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        left_on="user_id",
+        right_on="p_user",
+        left_time="ts",
+        right_time="p_ts",
+        value_cols=["p_id", "p_value"],
+        right_seq="p_id",
+        direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("asof_p_id"),
+        F.round("asof_p_value", 6).cast("double").alias("asof_p_value"),
+    )
+
+
+ORACLE_ASOF_FORWARD = """
+SELECT c.event_id, c.user_id,
+       p.event_id AS asof_p_id,
+       CAST(round(p.value, 6) AS DOUBLE) AS asof_p_value
+FROM events c
+LEFT JOIN LATERAL (
+  SELECT event_id, value FROM events p
+  WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+    AND p.ts >= c.ts
+  ORDER BY p.ts ASC, p.event_id ASC LIMIT 1) p ON TRUE
+WHERE c.event_type = 'click'
+"""
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization of the event stream (30-min gap): session
     rollups via two stacked windows over one partition-by-user exchange
@@ -2242,6 +2291,7 @@ QUERIES = {
     "q_order_priority": q_order_priority,
     "q_events_hourly": q_events_hourly,
     "q_asof_join": q_asof_join,
+    "q_asof_forward": q_asof_forward,
     "q_sessionize": q_sessionize,
     "q_range_join": q_range_join,
     "q_inverted_index": q_inverted_index,
@@ -2310,6 +2360,7 @@ ORACLES = {
     "q_order_priority": ORACLE_ORDER_PRIORITY,
     "q_events_hourly": ORACLE_EVENTS_HOURLY,
     "q_asof_join": ORACLE_ASOF_JOIN,
+    "q_asof_forward": ORACLE_ASOF_FORWARD,
     "q_sessionize": ORACLE_SESSIONIZE,
     "q_range_join": ORACLE_RANGE_JOIN,
     "q_inverted_index": ORACLE_INVERTED_INDEX,
