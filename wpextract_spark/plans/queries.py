@@ -507,6 +507,44 @@ GROUP BY 1
 """
 
 
+def q_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-dimension THETA join: classify events into value bands by
+    range membership against a literal 4-row tier table. The right physical
+    shape is an explicit broadcast of the dim + nested-loop join (each
+    event scans 4 rows JVM-side) — never a shuffle; the classic alternative
+    spelling is a CASE expression, but the dim-join form is what survives
+    when the bands table is data, not code."""
+    events = _t(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [("free", 0.0, 5.0), ("basic", 5.0, 20.0),
+         ("plus", 20.0, 50.0), ("premium", 50.0, 1e18)],
+        "band string, lo double, hi double",
+    )
+    return (
+        events.join(
+            F.broadcast(bands),
+            (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+            "inner",
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).cast("double").alias("sum_value"),
+        )
+    )
+
+
+ORACLE_VALUE_BANDS = """
+WITH bands(band, lo, hi) AS (
+  VALUES ('free', 0.0, 5.0), ('basic', 5.0, 20.0),
+         ('plus', 20.0, 50.0), ('premium', 50.0, 1e18))
+SELECT band, count(*) AS n_events,
+       CAST(round(sum(value), 2) AS DOUBLE) AS sum_value
+FROM events JOIN bands ON value >= lo AND value < hi
+GROUP BY band
+"""
+
+
 def q_user_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user spend rollup ranked into deciles (NTILE) with cumulative
     share — the classic heavy-user analytics cut. The global window runs
@@ -2296,6 +2334,7 @@ QUERIES = {
     "q_range_join": q_range_join,
     "q_inverted_index": q_inverted_index,
     "q_user_deciles": q_user_deciles,
+    "q_value_bands": q_value_bands,
     "q_collocations": q_collocations,
     "q_events_cube": q_events_cube,
     "q_dedup_exact": q_dedup_exact,
@@ -2365,6 +2404,7 @@ ORACLES = {
     "q_range_join": ORACLE_RANGE_JOIN,
     "q_inverted_index": ORACLE_INVERTED_INDEX,
     "q_user_deciles": ORACLE_USER_DECILES,
+    "q_value_bands": ORACLE_VALUE_BANDS,
     "q_collocations": ORACLE_COLLOCATIONS,
     "q_events_cube": ORACLE_EVENTS_CUBE,
     "q_dedup_exact": ORACLE_DEDUP_EXACT,
