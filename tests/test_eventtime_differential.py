@@ -90,3 +90,29 @@ def test_sessionize_matches_bruteforce(spark):
         for r in sessionize(df, "k", "ts", GAP, value="v").collect()
     }
     assert got == expected
+
+
+def test_range_join_matches_bruteforce(spark):
+    from wpextract_spark.operators.rangejoin import range_join
+
+    W = 30  # seconds — narrow band over a dense time domain: many pairs
+    left_rows = _rand_rows(seed=4, n=150, keys=4, tmax=120)
+    right_rows = [(i + 500, k, t) for i, (_, k, t) in
+                  enumerate(_rand_rows(seed=5, n=150, keys=4, tmax=120))]
+    left = spark.createDataFrame(left_rows, "lid long, k long, ts timestamp")
+    right = spark.createDataFrame(right_rows, "rid long, rk long, rts timestamp")
+
+    expected = {
+        (lid, rid)
+        for lid, k, t in left_rows
+        for rid, rk, rt in right_rows
+        if rk == k and t <= rt <= t + timedelta(seconds=W)
+    }
+    got = {
+        (r["lid"], r["rid"])
+        for r in range_join(
+            left, right, "k", "rk", "ts", "rts", window_seconds=W
+        ).collect()
+    }
+    assert got == expected
+    assert expected  # the corpus must actually produce matches
