@@ -101,17 +101,31 @@ def main() -> int:
         # Guard against representational ambiguity the driver's hasher may
         # render differently than this mirror: no Decimal/hugeint/int128 may
         # reach the comparison from either engine — cast to double/bigint in
-        # the query AND the oracle instead.
+        # the query AND the oracle instead. cursor.description only reports
+        # 'NUMBER' for hugeint (it hid ORACLE_SESSIONIZE's window-sum int128
+        # in round 2), so resolve real logical types via the relation API.
         import decimal as _dec
 
         ambiguous_types = {"DECIMAL", "HUGEINT", "INT128", "UHUGEINT"}
-        duck_types = [str(d[1]).upper() for d in cur.description]
+        # The driver canonicalizer pandas-sorts columns and crashes on
+        # unhashable values — complex types may not reach it either.
+        complex_types = {"LIST", "STRUCT", "MAP", "ARRAY", "UNION"}
+        try:
+            rel = con.sql(sql)
+            duck_types = [str(t).upper() for t in rel.types]
+        except Exception:  # pragma: no cover - fall back to description
+            duck_types = [str(d[1]).upper() for d in cur.description]
         for col, typ in zip(duck_cols, duck_types):
             if any(t in typ for t in ambiguous_types):
                 problems.append(f"oracle col {col} has ambiguous type {typ}")
+            # DuckDB renders lists as e.g. BIGINT[]; structs/maps by name.
+            if "[]" in typ or any(typ.startswith(t) for t in complex_types):
+                problems.append(f"oracle col {col} has complex type {typ}")
         for field in sdf.schema.fields:
             if field.dataType.typeName().startswith("decimal"):
                 problems.append(f"spark col {field.name} has ambiguous type {field.dataType}")
+            if field.dataType.typeName() in {"array", "struct", "map"}:
+                problems.append(f"spark col {field.name} has complex type {field.dataType}")
         for row in spark_rows[:1] + duck_rows[:1]:
             for v in row:
                 if isinstance(v, _dec.Decimal):

@@ -32,6 +32,19 @@ def test_repetition_stats_top_gram(spark):
     assert row["top3_gram_char_frac"] == pytest.approx(2 * 5 / 13, abs=1e-6)
 
 
+def test_repetition_stats_double_digit_n(spark):
+    # n >= 10 exercises the multi-char tag prefix: a fixed 1-char parse
+    # would read '10:w0 ... w9' as n='1', gram='0:w0 ...' (ADVICE r2).
+    words = " ".join(f"w{i}" for i in range(10))
+    text = words + " " + words  # the 10-gram "w0..w9" occurs twice
+    row = repetition_stats(_docs(spark, [(1, text)]), ns=(2, 10)).collect()[0]
+    gram_len = len(words)
+    assert row["top10_gram_char_frac"] == pytest.approx(
+        2 * gram_len / len(text), abs=1e-6
+    )
+    assert row["top2_gram_char_frac"] > 0.0
+
+
 def test_repetition_stats_short_doc_zero_fracs(spark):
     # One word: no 2-grams/3-grams exist -> fractions are 0, not null.
     row = repetition_stats(_docs(spark, [(1, "solo")])).collect()[0]

@@ -42,6 +42,24 @@ def test_bloom_no_false_negatives(spark):
         assert all(bits[int(p) >> 3] >> (int(p) & 7) & 1 for p in pos_arr)
 
 
+def test_null_text_rows_survive_both_sides(spark):
+    # A NULL text yields a NULL md5: the bloom fold must skip it and the
+    # probe must treat it as a miss (ADVICE r2) — one bad row may not kill
+    # the job, and NULL-key rows are kept (anti-join never equi-matches NULL).
+    new = spark.createDataFrame(
+        [(1, "alpha"), (2, None), (3, "beta")], "doc_id long, text string"
+    )
+    seen = spark.createDataFrame([("alpha",), (None,)], "text string")
+    for prefilter in (True, False):
+        got = sorted(
+            r["doc_id"]
+            for r in incremental_dedup(
+                new, seen, expected_seen=10, prefilter=prefilter
+            ).collect()
+        )
+        assert got == [2, 3], (prefilter, got)
+
+
 def test_exact_output_matches_anti_join(spark):
     new = _corpus(spark)
     seen = new.where("doc_id % 3 = 0").select("text")

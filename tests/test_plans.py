@@ -104,6 +104,25 @@ def test_image_meta_scan_prunes_to_doc_id(spark):
     assert "doc_id" in read[0] and "text" not in read[0]
 
 
+def test_registry_outputs_driver_hashable_types(spark):
+    """The driver's correctness canonicalizer pandas-sorts result columns and
+    hashes values: array/struct/map columns crash it (round-2
+    q_inverted_index) and decimal/int128 hash differently across engines
+    (round-1 q_salted_join, round-2 q_sessionize). No registry query may
+    emit them."""
+    from wpextract_spark.plans.queries import QUERIES
+
+    banned = {"array", "struct", "map", "decimal"}
+    offenders = []
+    for name, fn in QUERIES.items():
+        schema = fn(spark, "/root/testdata/sf0.001").schema
+        for field in schema.fields:
+            root = field.dataType.typeName()
+            if root in banned or root.startswith("decimal"):
+                offenders.append(f"{name}.{field.name}: {field.dataType}")
+    assert not offenders, offenders
+
+
 def test_textstats_queries_are_codegen_only(spark):
     """Token/quality/fingerprint/BPE stats must stay whole-stage-codegen JVM
     expressions — no Python workers (BatchEvalPython/ArrowEvalPython) in the

@@ -105,10 +105,12 @@ def repetition_stats(
 
     ex = base.select(id_col, F.explode(tagged).alias("m"))
     counts = ex.groupBy(id_col, "m").agg(F.count("*").alias("c"))
+    # Split on the FIRST ':' — a fixed 1-char prefix would mis-parse any
+    # n >= 10 tag ('10:the quick' would read as n='1', gram='0:the quick').
     counts = counts.select(
         id_col,
-        F.substring("m", 1, 1).alias("n"),
-        F.expr("substring(m, 3)").alias("gram"),
+        F.substring_index("m", ":", 1).alias("n"),
+        F.expr("substring(m, instr(m, ':') + 1)").alias("gram"),
         "c",
     )
     top_aggs = [

@@ -357,7 +357,11 @@ def build_text_bloom(
         bits = np.zeros(m // 8, dtype=np.uint8)
         one = np.uint8(1)
         for pdf in batches:
-            col = pdf[hash_col]
+            # md5(NULL text) is None — skip it rather than kill the task;
+            # the exact anti-join never matches NULL keys either.
+            col = pdf[hash_col].dropna()
+            if col.empty:
+                continue
             for pos in _bloom_positions(col, m, k):
                 np.bitwise_or.at(bits, pos >> 3, one << (pos & 7).astype(np.uint8))
         yield pd.DataFrame({"bitmap": [bits.tobytes()]})
@@ -379,9 +383,17 @@ def _might_contain_udf(bc, m: int, k: int):
 
     def probe(col):
         bits = np.frombuffer(bc.value, dtype=np.uint8)
-        hit = np.ones(len(col), dtype=bool)
-        for pos in _bloom_positions(col, m, k):
-            hit &= (bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1 == 1
+        # NULL hashes (md5 of NULL text) count as bloom misses: the exact
+        # anti-join keeps NULL-key rows too (NULL never equi-matches), so
+        # both branches agree and no task dies on a bad row.
+        hit = np.zeros(len(col), dtype=bool)
+        valid = col.notna().to_numpy()
+        vals = col[valid]
+        if len(vals):
+            vhit = np.ones(len(vals), dtype=bool)
+            for pos in _bloom_positions(vals, m, k):
+                vhit &= (bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1 == 1
+            hit[valid] = vhit
         return pd.Series(hit)
 
     probe.__annotations__ = {"col": pd.Series, "return": pd.Series}

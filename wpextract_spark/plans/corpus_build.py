@@ -67,9 +67,13 @@ def build_training_corpus(
         "lang",
         res["text"].alias("text"),
     ).where(F.col("text").isNotNull())
-    docs = docs.withColumn("doc_id", F.monotonically_increasing_id())
-    # The id is partitioning-dependent; everything downstream that must be
-    # run-stable (splits, dedup keys) keys on url/text instead.
+    # doc_id must be identical on every lineage that re-evaluates it —
+    # curation and decontamination each recompute the docs projection and
+    # join back on it, and monotonically_increasing_id() is
+    # partitioning-dependent (a re-layout or a speculative retry would
+    # silently keep/drop the wrong documents). url is already the stable
+    # key downstream, so derive the id from it deterministically.
+    docs = docs.withColumn("doc_id", F.xxhash64(F.col("url")))
     n_pages = pages.count()
     n_extracted = docs.count()
     metrics["stages"]["extract"] = {"in": n_pages, "out": n_extracted}

@@ -454,8 +454,11 @@ WITH g AS (
   FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
 s AS (
   SELECT user_id, ts, value,
-         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
-                           ROWS UNBOUNDED PRECEDING) AS session_seq
+         -- DuckDB window sum(int) yields HUGEINT; the driver hasher renders
+         -- int128 differently from Spark's BIGINT — cast (VERDICT r2 item 1).
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_seq
   FROM g)
 SELECT user_id, session_seq,
        min(ts) AS session_start, max(ts) AS session_end,
@@ -591,11 +594,19 @@ FROM per_user WINDOW w AS (ORDER BY total_value DESC, user_id)
 
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted index with tf-ranked, k-bounded posting lists
-    (operators/textstats.py:inverted_index)."""
+    (operators/textstats.py:inverted_index).
+
+    The contract wrapper stringifies ``postings`` — the driver's
+    canonicalizer pandas-sorts result columns and cannot hash list values
+    (VERDICT r2 item 2); the operator itself keeps the typed array."""
     from wpextract_spark.operators.textstats import inverted_index
 
-    return inverted_index(
+    idx = inverted_index(
         _t(spark, sf_dir, "documents"), min_df=2, postings_k=5
+    )
+    return idx.withColumn(
+        "postings",
+        F.array_join(F.col("postings").cast("array<string>"), ","),
     )
 
 
@@ -663,8 +674,10 @@ r AS (SELECT token, doc_id, tf,
                                 ORDER BY tf DESC, doc_id) AS rk
       FROM tf)
 SELECT token, count(*) AS doc_freq,
-       list(doc_id ORDER BY tf DESC, doc_id) FILTER (WHERE rk <= 5)
-         AS postings
+       array_to_string(
+         list(CAST(doc_id AS VARCHAR) ORDER BY tf DESC, doc_id)
+           FILTER (WHERE rk <= 5),
+         ',') AS postings
 FROM r GROUP BY token HAVING count(*) >= 2
 """
 
@@ -1867,8 +1880,11 @@ WITH t AS (
   FROM documents),
 o AS (
   SELECT doc_id, n_tokens,
-         coalesce(sum(n_tokens) OVER (ORDER BY doc_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS "offset"
+         -- window sum(int) is HUGEINT in DuckDB — cast before it propagates
+         -- into the derived // columns (same class as ORACLE_SESSIONIZE).
+         CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS "offset"
   FROM t)
 SELECT doc_id, n_tokens, "offset",
        "offset" // 512 AS seq_index,
