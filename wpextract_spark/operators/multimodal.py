@@ -2,10 +2,13 @@
 
 Images/audio/video are carried as ``binary`` columns with a metadata struct;
 decode / feature-extract / resize / frame-sample run as Arrow-batched stages
-over ``mapInPandas``. The decode step itself is STUBBED — the real codecs
-(PIL/ffmpeg/librosa) are not in this environment — behind
+over ``mapInPandas``. Decode depth by modality: PNG pixel decode and resize
+are REAL (kernel/pngcodec.py — stdlib zlib inflate + unfilter, no codec
+library), as are image/audio header metadata (kernel/imagemeta.py,
+kernel/audiometa.py); JPEG/GIF pixel decode and video codecs need
+PIL/ffmpeg, which are not in this environment — those stay behind
 ``NotImplementedError`` plus a deterministic fake so the Spark-side plumbing
-(schema, batch shape, partitioning) is real and tested.
+(schema, batch shape, partitioning) is real and tested either way.
 """
 
 from __future__ import annotations
@@ -42,9 +45,33 @@ def _fake_decode(payload: bytes) -> list[float]:
 
 def _real_decode(payload: bytes) -> list[float]:  # pragma: no cover - stub
     raise NotImplementedError(
-        "real media decoding requires PIL/ffmpeg/librosa, not present in this "
-        "environment; plug a decoder via extract_media_features(decoder=...)"
+        "generic media decoding requires PIL/ffmpeg/librosa, not present in "
+        "this environment; plug a decoder via "
+        "extract_media_features(decoder=...). PNG pixel decode IS real — "
+        "use png_decoder / png_pixel_stats (kernel/pngcodec.py)."
     )
+
+
+def png_decoder(payload: bytes) -> list[float]:
+    """Real feature decoder for PNG payloads: mean sample value per channel
+    (zero-padded to FEATURE_DIM), from actually-decoded pixels. Non-PNG
+    payloads fall back to the deterministic fake so mixed-modality batches
+    keep working."""
+    import numpy as np
+
+    from wpextract_spark.kernel.pngcodec import decode_png
+
+    decoded = decode_png(payload)
+    if decoded is None:
+        return _fake_decode(payload)
+    width, height, channels, pixels = decoded
+    means = (
+        np.frombuffer(pixels, dtype=np.uint8)
+        .reshape(width * height, channels)
+        .mean(axis=0)
+        / 255.0
+    )
+    return list(means) + [0.0] * (FEATURE_DIM - channels)
 
 
 def extract_media_features(
@@ -184,6 +211,75 @@ def audio_metadata(media: DataFrame, payload_col: str = "payload") -> DataFrame:
         "n_channels int, n_samples long, duration_s double",
         payload_col,
     )
+
+
+def png_pixel_stats(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """REAL pixel decode for PNG payloads (kernel/pngcodec.py): zlib IDAT
+    inflate + per-row unfilter, no codec library. Emits per-image pixel
+    statistics; the sum is an exact integer so it crosses engines without
+    representational ambiguity. Non-PNG / corrupt payloads yield nulls
+    (quarantine contract). Replaces the round-1/2 md5 fake for PNGs."""
+    from wpextract_spark.kernel.pngcodec import pixel_stats
+
+    return _sniff_metadata(
+        media,
+        pixel_stats,
+        [
+            ("width", "Int32"),
+            ("height", "Int32"),
+            ("channels", "Int32"),
+            ("n_pixels", "Int64"),
+            ("pixel_sum", "Int64"),
+        ],
+        "media_id long, kind string, width int, height int, channels int, "
+        "n_pixels long, pixel_sum long",
+        payload_col,
+    )
+
+
+def png_resize(
+    media: DataFrame, width: int, height: int, payload_col: str = "payload"
+) -> DataFrame:
+    """REAL image resize for PNG payloads: decode -> nearest-neighbor index
+    map -> re-encode (kernel/pngcodec.py). Same schema contract as
+    :func:`resize_stub`; undecodable payloads pass through as null payload
+    rather than killing the task."""
+    from wpextract_spark.kernel.pngcodec import resize_nearest
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": batch["media_id"],
+                    "kind": batch["kind"],
+                    "payload": batch[payload_col].map(
+                        lambda b: resize_nearest(bytes(b), width, height)
+                        if b is not None
+                        else None
+                    ),
+                    "width": pd.array([width] * len(batch), dtype="Int32"),
+                    "height": pd.array([height] * len(batch), dtype="Int32"),
+                }
+            )
+
+    return media.mapInPandas(
+        _run, "media_id long, kind string, payload binary, width int, height int"
+    )
+
+
+def gradient_image_build_udf():
+    """doc_id -> deterministic gradient PNG (sources/imagegen.py) whose
+    decoded pixel sum is SQL-restatable — the test/bench inverse of
+    :func:`png_pixel_stats`."""
+    from wpextract_spark.sources.imagegen import build_gradient_image
+
+    @F.pandas_udf("binary")
+    def _build(ids: pd.Series) -> pd.Series:
+        return pd.Series(
+            [build_gradient_image(int(i))[3] for i in ids], dtype="object"
+        )
+
+    return _build
 
 
 def audio_build_udf():

@@ -1632,6 +1632,55 @@ FROM documents
 """
 
 
+def q_png_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel decode, oracle-checked: synthesize a deterministic
+    gradient PNG per document (sources/imagegen.py — Sub-filtered row 0,
+    Up-filtered rest), then zlib-inflate + unfilter the pixels back out
+    (kernel/pngcodec.py) and emit exact integer pixel sums. The oracle
+    restates the generator's pixel arithmetic ((base + r + c) % 256) with a
+    double-lateral range, so a decoder bug anywhere in the filter chain
+    breaks the hash."""
+    from wpextract_spark.operators.multimodal import (
+        gradient_image_build_udf,
+        png_pixel_stats,
+    )
+
+    media = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("png").alias("kind"),
+        gradient_image_build_udf()(F.col("doc_id")).alias("payload"),
+    )
+    return png_pixel_stats(media)
+
+
+ORACLE_PNG_PIXELS = """
+WITH d AS (
+  SELECT doc_id,
+         16 + doc_id % 100 AS w,
+         16 + (doc_id * 7) % 100 AS h,
+         (doc_id * 37) % 256 AS base
+  FROM documents),
+px AS (
+  -- sum over the w x h grid of (base + r + c) % 256, grouped by the
+  -- diagonal s = r + c: each diagonal holds
+  -- least(h-1, s) - greatest(0, s - w + 1) + 1 pixels of equal value.
+  -- (range() here takes a constant — this DuckDB build rejects
+  -- lateral-correlated table-function parameters.)
+  SELECT d.doc_id, d.w, d.h,
+         CAST(sum(
+           (least(d.h - 1, s.v) - greatest(0, s.v - d.w + 1) + 1)
+           * ((d.base + s.v) % 256)
+         ) AS BIGINT) AS pixel_sum
+  FROM d JOIN range(512) s(v) ON s.v <= d.h + d.w - 2
+  GROUP BY d.doc_id, d.w, d.h)
+SELECT doc_id AS media_id, 'png' AS kind,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(1 AS INTEGER) AS channels,
+       CAST(w * h AS BIGINT) AS n_pixels, pixel_sum
+FROM px
+"""
+
+
 def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real audio-metadata decode: synthesize a deterministic PCM WAV per
     document, sniff sample rate / channels / samples / duration from the
@@ -2377,6 +2426,7 @@ QUERIES = {
     "q_bpe_tokens": q_bpe_tokens,
     "q_multimodal_features": q_multimodal_features,
     "q_image_meta": q_image_meta,
+    "q_png_pixels": q_png_pixels,
     "q_audio_meta": q_audio_meta,
     "q_frame_sample": q_frame_sample,
     "q_pages_extract": q_pages_extract,
@@ -2447,6 +2497,7 @@ ORACLES = {
     "q_bpe_tokens": _oracle_bpe_tokens(),
     "q_multimodal_features": ORACLE_MULTIMODAL,
     "q_image_meta": ORACLE_IMAGE_META,
+    "q_png_pixels": ORACLE_PNG_PIXELS,
     "q_audio_meta": ORACLE_AUDIO_META,
     "q_frame_sample": ORACLE_FRAME_SAMPLE,
     "q_pdf_roundtrip": ORACLE_PDF_ROUNDTRIP,

@@ -36,6 +36,40 @@ def build_png(width: int, height: int, gray: int = 0x7F) -> bytes:
     )
 
 
+def build_png_gradient(width: int, height: int, base: int) -> bytes:
+    """Valid grayscale PNG whose pixel at (row r, col c) is (base+r+c) % 256.
+
+    Deliberately filter-diverse so a decoder must really unfilter: row 0 is
+    Sub-filtered (first byte = base, then deltas of 1), later rows are
+    Up-filtered (delta of 1 from the row above). The pixel arithmetic is
+    restatable in SQL, which makes decoded sums oracle-checkable.
+    """
+    rows = bytearray()
+    rows += b"\x01" + bytes([base % 256]) + b"\x01" * (width - 1)
+    rows += (b"\x02" + b"\x01" * width) * (height - 1)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(rows), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def build_gradient_image(doc_id: int) -> tuple[int, int, int, bytes]:
+    """Deterministic (width, height, base, payload) gradient PNG for a doc id.
+
+    Pure arithmetic in ``doc_id`` (same convention as :func:`build_image`)
+    so a SQL oracle can restate the decoded pixel sum:
+    width = 16 + id % 100, height = 16 + (id * 7) % 100,
+    base = (id * 37) % 256, pixel(r, c) = (base + r + c) % 256.
+    """
+    width = 16 + doc_id % 100
+    height = 16 + (doc_id * 7) % 100
+    base = (doc_id * 37) % 256
+    return width, height, base, build_png_gradient(width, height, base)
+
+
 def build_gif(width: int, height: int) -> bytes:
     """Complete valid 2-color GIF89a of the given dimensions."""
     header = b"GIF89a" + struct.pack("<HH", width, height) + b"\x80\x00\x00"
