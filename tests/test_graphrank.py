@@ -64,3 +64,59 @@ def test_empty_graph(spark):
         spark.createDataFrame([], "src bigint, dst bigint"), n_iter=2
     )
     assert out.count() == 0
+
+
+def test_loop_edges_never_reshuffle(spark):
+    """The 100-TB contract of the iterative loop: the persisted weighted edge
+    table (the corpus-sized side) must enter every iteration's join straight
+    from its InMemoryTableScan — no Exchange above it — and the nodes side
+    likewise. Only node-sized tables (ranks, partial-aggregated contribs,
+    the 1-row dangling mass) may cross the wire. Broadcast is disabled so
+    small-scale AQE can't mask a missing co-partition."""
+    from pyspark.sql import functions as F
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        edges = (
+            spark.range(5000)
+            .select(
+                (F.col("id") % 300).alias("src"),
+                ((F.col("id") * 13) % 280).alias("dst"),
+            )
+            .where("src != dst")
+        )
+        plan = (
+            pagerank(edges, n_iter=3)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # Outer plan only: cached-relation interiors and AQE "Initial Plan"
+    # dumps repeat pre-loop exchanges that run once, not per iteration.
+    outer, skip_indent = [], None
+    for line in plan.splitlines():
+        indent = len(line) - len(line.lstrip(" :+-*("))
+        if skip_indent is not None:
+            if indent > skip_indent:
+                continue
+            skip_indent = None
+        if "InMemoryRelation" in line or "== Initial Plan ==" in line:
+            skip_indent = indent
+            continue
+        outer.append(line)
+    exchanges = [l for l in outer if "Exchange" in l and "Broadcast" not in l
+                 and "Reused" not in l]
+    # Per final iteration: groupBy(dst) partial-agg exchange, the node-sized
+    # ranks re-exchange (checkpoint partitioning is opaque), and the 1-row
+    # dangling SinglePartition — and nothing else.
+    assert len(exchanges) == 3, exchanges
+    hash_keys = [l for l in exchanges if "hashpartitioning" in l]
+    assert all(("dst#" in l) or ("node#" in l) for l in hash_keys), hash_keys
+    # The weighted-edge cache feeds its join with no exchange in between.
+    for i, line in enumerate(outer):
+        if "InMemoryTableScan [src#" in line:
+            above = outer[max(0, i - 3):i]
+            assert not any("Exchange" in a for a in above), above

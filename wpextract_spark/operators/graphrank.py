@@ -6,16 +6,25 @@ the canonical downstream use (crawl prioritisation, quality priors for
 curation). This is the one genuinely *iterative* operator in the engine, so
 it is written the way iterative algorithms should be on Spark:
 
-* each iteration is one join + one aggregation — the only corpus-sized
-  shuffle is keyed by ``dst``, and the edge list keeps its partitioning
-  across iterations so AQE reuses the exchange;
+* each iteration is one join + one aggregation, with NO corpus-sized
+  shuffle inside the loop: the weighted edge list (edges pre-joined with
+  out-degrees) is hash-partitioned by ``src`` ONCE before the loop and
+  persisted — persist, not checkpoint, because an InMemoryRelation keeps
+  its partitioning visible to EnsureRequirements while (under AQE) a
+  checkpoint's LogicalRDD does not — and ``nodes`` likewise by ``node``;
+  only node-sized tables (ranks in, partial-aggregated contributions out)
+  cross the wire each round;
 * the dangling-node mass (rank parked on nodes with no out-edges) is folded
-  back via a one-row aggregate cross-joined onto the update — a pure plan
-  construct, so NO driver action happens inside the loop (the driver only
-  builds the DAG; a single count() up front fixes N);
-* lineage is cut with ``localCheckpoint`` every few iterations — without it
-  the plan doubles per iteration and the optimizer chokes long before the
-  executors do (the classic iterative-Spark failure mode).
+  back via a one-row aggregate cross-joined onto the update — ``nodes``
+  carries a loop-invariant ``is_dangling`` flag, so the per-iteration
+  dangling sum is a filter + scalar aggregate (a single-row exchange), not
+  an anti-join. A pure plan construct: NO driver action happens inside the
+  loop (the driver only builds the DAG; a single count() up front fixes N);
+* the rank table is lazy-checkpointed EVERY iteration: two consumers read
+  it each round (the contribution join and the dangling aggregate), so a
+  shared materialised RDD is what keeps the evaluation tree from doubling
+  per iteration — and it bounds lineage depth, the classic
+  iterative-Spark failure mode.
 
 Convergence is fixed-iteration (``n_iter``), matching the unrolled SQL
 oracle exactly; production would add a delta-based stop on top.
@@ -23,12 +32,10 @@ oracle exactly; production would add a delta-based stop on top.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: Cut lineage this often; 5 keeps plan depth bounded while amortising the
-#: checkpoint materialisation over several shuffle-reusing iterations.
-_CHECKPOINT_EVERY = 5
 
 
 def pagerank(
@@ -53,33 +60,55 @@ def pagerank(
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
     out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
-    # Pin the two loop-invariant sides so every iteration rejoins the same
-    # materialised partitions instead of re-deriving them from the scan.
+    # Loop-invariant sides, built once:
+    #  * weighted edges (src, dst, out_deg), hash-partitioned by src — the
+    #    per-iteration out_deg join disappears from the loop entirely;
+    #  * nodes with a precomputed is_dangling flag, partitioned by node —
+    #    the per-iteration dangling ANTI-join becomes a cheap filter.
+    # Both use the same shuffle-partition count, and the rank table below
+    # stays hash-partitioned by node across iterations, so the two joins in
+    # the loop are co-partitioned: the only corpus-sized exchange per
+    # iteration is the groupBy(dst).
+    weighted = e.join(out_deg, "src").repartition("src")
+    nodes = (
+        nodes.join(
+            out_deg.select(F.col("src").alias("node"), F.lit(True).alias("_out")),
+            "node",
+            "left",
+        )
+        .select("node", F.col("_out").isNull().alias("is_dangling"))
+        .repartition("node")
+    )
+    # Pin the loop-invariant sides with persist(), NOT localCheckpoint: under
+    # AQE a checkpoint's LogicalRDD reports unknown partitioning, so every
+    # iteration would re-exchange the (corpus-sized) edge table; an
+    # InMemoryRelation keeps hashpartitioning(src)/(node) visible to
+    # EnsureRequirements, so the loop's joins are exchange-free on these
+    # sides, round after round.
     if checkpoint:
-        e = e.localCheckpoint(eager=False)
-        nodes = nodes.localCheckpoint(eager=False)
-        out_deg = out_deg.localCheckpoint(eager=False)
+        weighted = weighted.persist(StorageLevel.MEMORY_AND_DISK)
+        nodes = nodes.persist(StorageLevel.MEMORY_AND_DISK)
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for it in range(n_iter):
         contribs = (
-            e.join(ranks, e["src"] == ranks["node"])
-            .join(out_deg, "src")
+            weighted.join(ranks, weighted["src"] == ranks["node"])
             .select(F.col("dst"), (F.col("rank") / F.col("out_deg")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("in_sum"))
         )
         # Dangling mass as a 1-row aggregate cross-joined in: keeps the loop
-        # action-free on the driver.
-        dangling = (
-            ranks.join(out_deg, ranks["node"] == out_deg["src"], "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling"))
+        # action-free on the driver. The flag makes it a filter + scalar agg
+        # (single-row exchange) instead of a corpus-sized anti-join.
+        dangling = ranks.where("is_dangling").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling")
         )
         ranks = (
             nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
             .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
+                "is_dangling",
                 (
                     F.lit((1.0 - damping) / n)
                     + F.lit(damping)
@@ -90,6 +119,13 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        if checkpoint and (it + 1) % _CHECKPOINT_EVERY == 0 and it + 1 < n_iter:
+        # Lazy-checkpoint EVERY iteration: ranks is consumed twice next round
+        # (contribution join + dangling aggregate) — sharing one materialised
+        # RDD between the two consumers is what stops the evaluation tree
+        # from doubling per iteration (2^k recompute between sparser cuts),
+        # and it also bounds lineage depth. The node-sized re-exchange this
+        # costs (checkpoint partitioning is opaque to AQE) is |V| rows, not
+        # |E| — the right trade at crawl-graph scale.
+        if checkpoint and it + 1 < n_iter:
             ranks = ranks.localCheckpoint(eager=False)
-    return ranks
+    return ranks.select("node", "rank")
