@@ -126,3 +126,15 @@ def test_simhash_expr_matches_batch_operator(spark):
     perrow = {r["doc_id"]: r["s"] for r in
               df.select("doc_id", simhash_expr(bits=64).alias("s")).collect()}
     assert perrow == batch
+
+
+def test_popcount64_matches_python_bitcount():
+    import numpy as np
+
+    from wpextract_spark.streaming.neardup_stream import _popcount64
+
+    rng = np.random.RandomState(11)
+    vals = rng.randint(0, 2**63, size=200, dtype=np.int64).astype(np.uint64)
+    vals[:3] = [0, 2**64 - 1, 2**63]
+    got = _popcount64(vals)
+    assert [int(g) for g in got] == [bin(int(v)).count("1") for v in vals]

@@ -49,8 +49,17 @@ _STATE_SCHEMA = "ids string, sigs string"
 _TIMEOUT_MS = 3600 * 1000
 
 
-def _popcount(x: int) -> int:
-    return bin(x).count("1")
+def _popcount64(arr):
+    """Vectorized 64-bit popcount (SWAR), elementwise over a uint64 array."""
+    import numpy as np
+
+    v = arr.astype(np.uint64, copy=True)
+    v -= (v >> np.uint64(1)) & np.uint64(0x5555555555555555)
+    v = (v & np.uint64(0x3333333333333333)) + (
+        (v >> np.uint64(2)) & np.uint64(0x3333333333333333)
+    )
+    v = (v + (v >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return (v * np.uint64(0x0101010101010101)) >> np.uint64(56)
 
 
 def _neardup_fn_factory(max_hamming: int, max_cached: int):
@@ -76,23 +85,46 @@ def _neardup_fn_factory(max_hamming: int, max_cached: int):
             return
         # Deterministic arrival order within the micro-batch.
         rows = rows.sort_values("doc_id")
-        out_dup, out_match = [], []
-        # Sequential by necessity, not oversight: each verdict depends on
-        # whether *earlier rows of this batch* entered the cache, so the
-        # loop carries a true data dependency (groups are a few rows; the
-        # heavy work — hashing, bucketing — already ran vectorized upstream).
-        for _, r in rows.iterrows():
-            sig = int(r["simhash_bits"], 2)
-            matched = None
-            for cid, csig in zip(cache_ids, cache_sigs):
-                if _popcount(sig ^ csig) <= max_hamming:
-                    matched = cid
-                    break
-            out_dup.append(matched is not None)
-            out_match.append(matched)
-            if matched is None:
-                cache_ids.append(int(r["doc_id"]))
-                cache_sigs.append(sig)
+        import numpy as np
+
+        sigs = np.array(
+            [int(s, 2) for s in rows["simhash_bits"]], dtype=np.uint64
+        )
+        doc_ids = rows["doc_id"].to_numpy(dtype=np.int64)
+        n = len(sigs)
+        out_match = [None] * n
+        # Phase 1, vectorized: every row against the pre-batch cache at once
+        # (one XOR + popcount matrix). First hit in cache order wins, same as
+        # the sequential scan it replaces.
+        if cache_sigs:
+            cache_arr = np.array(cache_sigs, dtype=np.uint64)
+            hits = _popcount64(sigs[:, None] ^ cache_arr[None, :]) <= max_hamming
+            hit_rows = np.nonzero(hits.any(axis=1))[0]
+            first = hits.argmax(axis=1)
+            for i in hit_rows:
+                out_match[i] = cache_ids[first[i]]
+        # Phase 2: rows that missed the cache carry a true data dependency —
+        # each may match a *novel* signature added earlier in this batch —
+        # so chain only those, each compared vectorized against the novel
+        # set (usually a handful of rows).
+        new_ids: list[int] = []
+        new_sigs: list[int] = []
+        for i in range(n):
+            if out_match[i] is not None:
+                continue
+            if new_sigs:
+                h = (
+                    _popcount64(sigs[i] ^ np.array(new_sigs, dtype=np.uint64))
+                    <= max_hamming
+                )
+                if h.any():
+                    out_match[i] = new_ids[int(h.argmax())]
+                    continue
+            new_ids.append(int(doc_ids[i]))
+            new_sigs.append(int(sigs[i]))
+        cache_ids.extend(new_ids)
+        cache_sigs.extend(new_sigs)
+        out_dup = [m is not None for m in out_match]
         # Sliding cache: newest survivors win.
         cache_ids, cache_sigs = cache_ids[-max_cached:], cache_sigs[-max_cached:]
         state.update(
