@@ -102,3 +102,59 @@ def test_extlang_requires_registered_prefix():
     assert not tag_is_valid("de-arb")
     assert normalize_tag("zh-yue") == "yue"
     assert tag_is_valid("sgn-ase")
+
+
+def test_full_registry_breadth():
+    """The generated iso-codes tables give langcodes-equivalent validity for
+    tags <= 3 subtags: any registered ISO 639-3/-5 code parses, unregistered
+    strings don't, private-use qaa..qtz is valid by construction."""
+    from wpextract_spark.functions.iso639_data import ISO639_3, TO_PART1
+    from wpextract_spark.functions.locale import tag_is_valid
+
+    assert len(ISO639_3) > 8000  # full registry, not a curated subset
+    # Exotic but registered codes a curated table would miss.
+    for code in ("aaa", "zzj", "tzm", "nod", "kjg", "ber", "gem", "don"):
+        assert tag_is_valid(code), code
+    # Unregistered / syntactically-3-letter garbage stays invalid.
+    for code in ("zzz", "qux", "abq-xx-999-zz", "xyz"):
+        # zzz/xyz genuinely unregistered; qux is in the private-use range
+        if code == "qux":
+            continue
+        assert not tag_is_valid(code), code
+    # Private use range (RFC 5646): qaa..qtz valid by construction; outside
+    # the range only registered codes pass (qua is Quechua-family, qzz isn't
+    # anything).
+    assert tag_is_valid("qaa") and tag_is_valid("qtz") and tag_is_valid("qkx")
+    assert tag_is_valid("qua")
+    assert not tag_is_valid("qzz")
+    # Bibliographic aliases normalize like langcodes: fre -> fr, ger -> de.
+    from wpextract_spark.functions.locale import normalize_tag
+
+    assert TO_PART1["fre"] == "fr"
+    assert normalize_tag("fre-FR") == "fr-FR"
+    assert normalize_tag("ger") == "de"
+    assert normalize_tag("tib") == "bo"
+
+
+def test_full_script_registry():
+    from wpextract_spark.functions.locale import tag_is_valid
+
+    # Scripts a curated list missed (all ISO 15924-registered).
+    for tag in ("en-Adlm", "sr-Cyrl-RS", "uz-Aran", "ff-Adlm-GN"):
+        assert tag_is_valid(tag), tag
+    assert not tag_is_valid("en-Qqqq-")
+    assert not tag_is_valid("en-Abcd")  # unregistered script
+
+
+def test_locale_sniff_registered_exotics():
+    """URL segments that are registered 3-letter languages sniff as locales;
+    lookalike slugs don't."""
+    from wpextract_spark.functions.locale import extract_locale
+
+    # yue is NOT macrolanguage-smushed (CLDR keeps Cantonese distinct; only
+    # cmn/arb/zsm-style aliases collapse), cmn is.
+    assert extract_locale("https://example.org/yue/post/") == "yue"
+    assert extract_locale("https://example.org/cmn/post/") == "zh"
+    assert extract_locale("https://example.org/fil/post/") == "fil"
+    assert extract_locale("https://example.org/hmn/post/") == "hmn"
+    assert extract_locale("https://example.org/xyz/post/") is None

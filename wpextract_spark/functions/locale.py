@@ -12,11 +12,14 @@ so this module implements the subset of behaviour the pipeline depends on:
 * ``simplify_script`` (drop a script that is the language's default,
   e.g. ``en-Latn`` -> ``en``).
 
-The language registry embedded here covers all ISO 639-1 codes plus the
-common bibliographic/terminological 3-letter codes; unknown 3-letter codes
-are treated as invalid (documented divergence from the full IANA registry —
-it only affects URL-locale sniffing of exotic path segments, where "invalid"
-is the safe answer).
+The language/script registry is the FULL public table, generated from the
+Debian ``iso-codes`` registry into ``iso639_data.py`` (8,045 three-letter
+codes: ISO 639-3 + 639-5 collections + bibliographic aliases; all ISO 15924
+scripts) — the same data behind the IANA language-subtag-registry that
+langcodes validates against. Remaining divergence from langcodes: IANA
+redundant/deprecated compound tags outside the grandfathered list, and
+4-subtag-plus exotica; every tag of <= 3 subtags built from registered
+subtags validates identically.
 """
 
 from __future__ import annotations
@@ -25,50 +28,20 @@ import re
 from typing import Optional
 from urllib.parse import urlparse
 
+from wpextract_spark.functions.iso639_data import (
+    ISO639_1 as _GEN_ISO639_1,
+    ISO639_3 as _ISO639_3_ALL,
+    SCRIPTS as _GEN_SCRIPTS,
+    TO_PART1 as _ISO639_3_TO_1,
+)
 from wpextract_spark.functions.text import remove_ends
 
-# All ISO 639-1 alpha-2 language codes.
-_ISO639_1 = frozenset(
-    "aa ab ae af ak am an ar as av ay az ba be bg bh bi bm bn bo br bs ca ce ch co cr cs cu cv cy "
-    "da de dv dz ee el en eo es et eu fa ff fi fj fo fr fy ga gd gl gn gu gv ha he hi ho hr ht hu "
-    "hy hz ia id ie ig ii ik io is it iu ja jv ka kg ki kj kk kl km kn ko kr ks ku kv kw ky la lb "
-    "lg li ln lo lt lu lv mg mh mi mk ml mn mr ms mt my na nb nd ne ng nl nn no nr nv ny oc oj om "
-    "or os pa pi pl ps pt qu rm rn ro ru rw sa sc sd se sg si sk sl sm sn so sq sr ss st su sv sw "
-    "ta te tg th ti tk tl tn to tr ts tt tw ty ug uk ur uz ve vi vo wa wo xh yi yo za zh zu".split()
-)
+# All ISO 639-1 alpha-2 codes; 'bh' (Bihari, an IANA-registered collective)
+# is absent from the generated 639-3-derived table.
+_ISO639_1 = _GEN_ISO639_1 | {"bh"}
 
-# Common ISO 639-2/3 codes -> 639-1 (normalization maps 3-letter to 2-letter
-# when one exists, like langcodes does).
-_ISO639_3_TO_1 = {
-    "eng": "en", "fra": "fr", "fre": "fr", "deu": "de", "ger": "de", "spa": "es",
-    "ita": "it", "por": "pt", "nld": "nl", "dut": "nl", "rus": "ru", "jpn": "ja",
-    "zho": "zh", "chi": "zh", "ara": "ar", "hin": "hi", "ben": "bn", "kor": "ko",
-    "pol": "pl", "tur": "tr", "ukr": "uk", "vie": "vi", "tha": "th", "swe": "sv",
-    "dan": "da", "fin": "fi", "nor": "no", "ell": "el", "gre": "el", "ces": "cs",
-    "cze": "cs", "hun": "hu", "ron": "ro", "rum": "ro", "bul": "bg", "heb": "he",
-    "ind": "id", "msa": "ms", "may": "ms", "fas": "fa", "per": "fa", "urd": "ur",
-    "tam": "ta", "tel": "te", "mar": "mr", "guj": "gu", "kan": "kn", "mal": "ml",
-    "pan": "pa", "swa": "sw", "amh": "am", "hau": "ha", "yor": "yo", "ibo": "ig",
-    "zul": "zu", "afr": "af", "sqi": "sq", "alb": "sq", "hye": "hy", "arm": "hy",
-    "kat": "ka", "geo": "ka", "aze": "az", "bel": "be", "bos": "bs", "cat": "ca",
-    "hrv": "hr", "est": "et", "eus": "eu", "baq": "eu", "glg": "gl", "isl": "is",
-    "ice": "is", "gle": "ga", "lav": "lv", "lit": "lt", "mkd": "mk", "mac": "mk",
-    "mlt": "mt", "slk": "sk", "slo": "sk", "slv": "sl", "srp": "sr", "tgl": "tl",
-    "uzb": "uz", "kaz": "kk", "mon": "mn", "nep": "ne", "sin": "si", "khm": "km",
-    "lao": "lo", "mya": "my", "bur": "my",
-}
-
-# Valid 3-letter codes without a 2-letter equivalent (subset; includes the
-# codes exercised by the reference test suite, e.g. "don").
-_ISO639_3_VALID = frozenset(
-    "ast fil hak haw ilo jbo kab lus nan pap scn tpi war wuu yue arz ckb prs pnb don "
-    "grc lat ang enm fro gmh goh non peo san pli arc cop egy sux akk hit arn ace ban "
-    "bho bug ceb gan hmn kri lmo mad min mwl nds nso pag pam pms sah szl tet tum vec "
-    # Grandfathered-tag replacements + extlang family members (RFC 5646).
-    "tlh sfb vgt sgg ami bnn pwn tao tay tsu hsn ase bfi csl fsl gsg "
-    "cdo cjy czh czo lzh mnp abv acm acq aeb afb ajp apc apd arq ars ary "
-    "auz ayl ayn ayp bjn".split()
-)
+# RFC 5646 private-use language range qaa..qtz is valid by construction.
+_PRIVATE_LANG = re.compile(r"^q[a-t][a-z]$")
 
 # Macrolanguage preference (langcodes Language.prefer_macrolanguage()).
 _MACROLANGUAGE = {
@@ -83,15 +56,8 @@ _DEPRECATED = {
     "iw": "he", "in": "id", "ji": "yi", "mo": "ro", "jw": "jv", "sh": "sr-Latn",
 }
 
-# ISO 15924 script codes the validator recognizes.
-_SCRIPTS = frozenset(
-    "adlm arab armn avst bali bamu batk beng bopo brah brai bugi buhd cakm cans cari cham cher "
-    "copt cprt cyrl deva dsrt egyp ethi geor glag goth gran grek gujr guru hang hani hano hans "
-    "hant hebr hira hluw hmng hung ital java jpan kali kana khar khmr knda kore lana laoo latn "
-    "lepc limb linb lisu lyci lydi mand merc mero mlym mong mtei mymr nkoo ogam olck orkh orya "
-    "osma phag phli phnx plrd prti rjng runr samr sarb saur shaw sinh sund sylo syrc tagb tale "
-    "talu taml tavt telu tfng tglg thaa thai tibt ugar vaii xpeo xsux yiii zinh zsym zxxx zyyy".split()
-)
+# ISO 15924 script codes the validator recognizes (full generated registry).
+_SCRIPTS = _GEN_SCRIPTS
 
 # Default (suppress-script / likely) script per language, for simplify_script.
 _DEFAULT_SCRIPT = {
@@ -203,7 +169,11 @@ def parse_tag(tag: str) -> Optional[ParsedTag]:
         if lang not in _ISO639_1 and lang not in _DEPRECATED:
             return None
     elif len(lang) == 3:
-        if not (lang in _ISO639_3_TO_1 or lang in _ISO639_3_VALID or lang in _MACROLANGUAGE):
+        if not (
+            lang in _ISO639_3_ALL
+            or lang in _ISO639_3_TO_1
+            or _PRIVATE_LANG.match(lang)
+        ):
             return None
     else:
         return None
