@@ -84,3 +84,29 @@ def test_entity_byte_equality(extracted, datatype):
     ours = (out_dir / f"{datatype}.json").read_bytes()
     golden = (DATA / "extract_out" / f"{datatype}.json").read_bytes()
     assert ours == golden
+
+
+def test_distributed_export_byte_identical(extracted, spark, tmp_path):
+    """The executor-rendered JSON sink produces byte-identical files to the
+    driver-side parity sink on the golden corpus — proving the scale path
+    (per-partition shards concatenated in sort order) is the same bytes,
+    not just the same parsed content. Frames are repartitioned first so the
+    test really crosses partition boundaries."""
+    from wpextract_spark.plans.pipeline import SparkSiteExtractor
+
+    out_dir, _ = extracted
+    ex = SparkSiteExtractor(
+        spark, json_root=DATA / "download_out", scrape_root=DATA / "site_scrape"
+    )
+    ex.extract()
+    for ef in ex.entities.values():
+        if ef.df is not None:
+            ef.df = ef.df.repartition(7)
+    dist_dir = tmp_path / "dist"
+    counts = ex.export_distributed(dist_dir)
+    assert counts == EXPECTED_DATA_LEN
+    for datatype in EXPECTED_DATA_LEN:
+        ours = (dist_dir / f"{datatype}.json").read_bytes()
+        gate = (out_dir / f"{datatype}.json").read_bytes()
+        assert ours == gate, f"{datatype}: distributed bytes differ"
+        assert not (dist_dir / f"{datatype}.json.shards").exists()

@@ -350,6 +350,23 @@ class SparkSiteExtractor:
             )
         return counts
 
+    def export_distributed(self, out_dir: Path) -> dict[str, int]:
+        """Reference-format JSON per entity, rendered on the executors
+        (per-partition shards concatenated in sort order) — byte-identical
+        to :meth:`export` without the driver-side row loop; the 100x path
+        for JSON output. See ``sinks/parity.py:export_entity_json_distributed``."""
+        from wpextract_spark.sinks.parity import export_entity_json_distributed
+
+        out_dir = Path(out_dir)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        counts = {}
+        for name, ef in self.entities.items():
+            file_name = f"{self.json_prefix}-{name}.json" if self.json_prefix else f"{name}.json"
+            counts[name] = export_entity_json_distributed(
+                ef.df, ef.export_columns, ef.rename, out_dir / file_name
+            )
+        return counts
+
     def export_tables(self, out_dir: Path) -> dict[str, int]:
         """Scale sink: one parquet table per entity, nested span structs
         intact, written fully distributed (no driver serialization)."""

@@ -111,15 +111,83 @@ def export_entity_json(
     records = []
     ordered = df.orderBy(ORD)
     for row in ordered.toLocalIterator():
-        record: dict[str, Any] = {"id": _plain(row["id"])}
-        for dotted in export_columns:
-            value = row[safe(dotted)]
-            converter = _SPAN_CONVERTERS.get(dotted)
-            value = converter(value) if converter else _plain(value)
-            out_name = rename.get(dotted, dotted)
-            _set_nested(record, out_name, value)
-        records.append(record)
+        records.append(_render_record(row, export_columns, rename))
 
     with open(path, "w") as handle:
         json.dump(records, handle, indent=2, allow_nan=False)
     return len(records)
+
+
+def _render_record(
+    row: Row, export_columns: list[str], rename: dict[str, str]
+) -> dict[str, Any]:
+    """One exported record, identical for the driver and distributed sinks."""
+    record: dict[str, Any] = {"id": _plain(row["id"])}
+    for dotted in export_columns:
+        value = row[safe(dotted)]
+        converter = _SPAN_CONVERTERS.get(dotted)
+        value = converter(value) if converter else _plain(value)
+        _set_nested(record, rename.get(dotted, dotted), value)
+    return record
+
+
+def export_entity_json_distributed(
+    df: Optional[DataFrame],
+    export_columns: list[str],
+    rename: dict[str, str],
+    path: Path,
+) -> int:
+    """Scale path of :func:`export_entity_json`: byte-identical output,
+    rendered on the EXECUTORS.
+
+    The sort by ``_ord`` range-partitions the frame, so partition index order
+    IS global row order; each partition renders its rows to a JSON fragment
+    (the same ``_render_record`` + ``json.dumps(indent=2)`` the driver sink
+    uses, re-indented two spaces to sit inside the array) and writes one
+    shard file. The driver then concatenates shard bytes in partition order —
+    O(#partitions) metadata work instead of O(#rows) serialization. On a real
+    cluster ``path`` must be shared storage (the executors write the shards).
+    """
+    if df is None:
+        path.write_text("[]")
+        return 0
+
+    shard_dir = Path(str(path) + ".shards")
+    shard_dir.mkdir(parents=True, exist_ok=True)
+    cols = list(export_columns)
+    ren = dict(rename)
+    shard_path = str(shard_dir)
+
+    def render_partition(idx, rows):
+        import json as _json
+        import os as _os
+
+        frags = [
+            "  "
+            + _json.dumps(
+                _render_record(row, cols, ren), indent=2, allow_nan=False
+            ).replace("\n", "\n  ")
+            for row in rows
+        ]
+        if frags:
+            shard = _os.path.join(shard_path, f"part-{idx:05d}.frag")
+            with open(shard, "w") as handle:
+                handle.write(",\n".join(frags))
+        yield (idx, len(frags))
+
+    counts = dict(df.orderBy(ORD).rdd.mapPartitionsWithIndex(render_partition).collect())
+    shards = sorted(shard_dir.glob("part-*.frag"))
+    with open(path, "w") as out:
+        if not shards:
+            out.write("[]")
+        else:
+            out.write("[\n")
+            for i, shard in enumerate(shards):
+                if i:
+                    out.write(",\n")
+                out.write(shard.read_text())
+            out.write("\n]")
+    for shard in shards:
+        shard.unlink()
+    shard_dir.rmdir()
+    return sum(counts.values())
