@@ -21,7 +21,14 @@ def main() -> None:
         for path in sorted(pkg.rglob("*.py")):
             if "__pycache__" in path.parts:
                 continue
-            zf.write(path, path.relative_to(REPO))
+            # Fixed timestamp/mode: the artifact hash is content-addressed,
+            # so rebuilding an unchanged tree gives byte-identical zips.
+            info = zipfile.ZipInfo(
+                str(path.relative_to(REPO)), date_time=(1980, 1, 1, 0, 0, 0)
+            )
+            info.external_attr = 0o644 << 16
+            info.compress_type = zipfile.ZIP_DEFLATED
+            zf.writestr(info, path.read_bytes())
     print(out)
 
 

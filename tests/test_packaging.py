@@ -30,3 +30,22 @@ def test_pyfiles_zip_importable(tmp_path):
     )
     assert res.returncode == 0, res.stderr
     assert res.stdout.strip() == "ok"
+
+
+def test_pyfiles_zip_reproducible_and_source_only(tmp_path):
+    """Content-addressed artifact: rebuilding an unchanged tree gives
+    byte-identical zips; only package source ships (no tests/fixtures)."""
+    import zipfile
+
+    outs = []
+    for name in ("a.zip", "b.zip"):
+        out = tmp_path / name
+        subprocess.run(
+            [sys.executable, str(REPO / "scripts" / "make_pyfiles.py"), str(out)],
+            check=True,
+            capture_output=True,
+        )
+        outs.append(out.read_bytes())
+    assert outs[0] == outs[1]
+    names = zipfile.ZipFile(tmp_path / "a.zip").namelist()
+    assert all(n.startswith("wpextract_spark/") and n.endswith(".py") for n in names)
