@@ -118,3 +118,55 @@ def test_fused_extract_content():
 )
 def test_recovery_and_exclusion(fragment, expected):
     assert extract_text(parse_html(fragment)) == expected
+
+
+def test_absolutize_fast_path_matches_urllib():
+    """The regex fast path in kernel/content.py must agree with the urllib
+    slow path on every href it accepts — fixtures plus adversarial shapes
+    plus deterministic fuzz (trailing-empty query/fragment, params drops,
+    control chars, unbalanced brackets all route to the slow path)."""
+    import json
+    import random
+    import string
+    from pathlib import Path
+
+    from wpextract_spark.kernel.content import (
+        _FAST_ABS,
+        _absolutize,
+        _absolutize_slow,
+    )
+
+    bases = ["https://example.org/a/b/", "http://h/x", "https://h"]
+    hrefs = [
+        "https://other.com/x/y", "http://h/p?q=1#f", "https://h", "https://h/",
+        "HTTP://H/x", "https://h/x/../y", "https://h//double", "https://h/x;params",
+        "https://h:8080/x", "https://h/x%20y", "https://h/x?", "https://h/#",
+        "ftp://h/x", "https://user:p@h/x", "https://[::1]:8080/p",
+        "https://h/x?a=b&c=d#frag", "https://h\t/x", "https://h/x\ny",
+        "https:///x", "https://", "//proto/rel", "/root/rel", "rel/path",
+        "?query", "#frag", "mailto:x@y", "https://h/?#", "https://h/x#",
+        "https://h/x;", "https://h/x;?q", "https://h/x\n", "https://h/x?\n",
+        "https://h/x?#frag", "https://h;/x", "https://h/p[1]",
+    ]
+    rng = random.Random(13)
+    alphabet = string.ascii_letters + string.digits + ":/?#[]@!$&'()*+,;=._~%- \t\n\\"
+    for _ in range(20000):
+        h = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 24)))
+        if rng.random() < 0.6:
+            h = rng.choice(["https://", "http://", "HTTPS://", "https:/", "//"]) + h
+        hrefs.append(h)
+    data = Path(__file__).parent / "data" / "e2e" / "extract_out"
+    for ent in ("posts", "pages"):
+        for p in json.loads((data / f"{ent}.json").read_text()):
+            links = p.get("links") or {}
+            for l in (links.get("internal") or []) + (links.get("external") or []):
+                if l.get("href"):
+                    hrefs.append(l["href"])
+    taken = 0
+    for base in bases:
+        for h in hrefs:
+            m = _FAST_ABS.match(h)
+            if m and h[-1] not in "?#" and "?#" not in h:
+                taken += 1
+            assert _absolutize(base, h) == _absolutize_slow(base, h), (base, h)
+    assert taken > 1000  # the fast path actually engages

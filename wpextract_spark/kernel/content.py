@@ -14,6 +14,7 @@ never leaves this function (SURVEY.md §1.1 note on fused parsing).
 
 from __future__ import annotations
 
+import re
 from functools import lru_cache
 from typing import Any, Optional
 from urllib.parse import urljoin, urlparse, urlunparse
@@ -30,8 +31,23 @@ def _safe_netloc(link: str) -> str:
         return ""
 
 
+#: Fast-path shape: lowercase http(s), nonempty authority, no whitespace
+#: (urlsplit strips \t\r\n — those must take the slow path), not ending in a
+#: bare '?'/'#' (urljoin/urlunparse drop an EMPTY trailing query/fragment).
+#: For hrefs of this shape `urlunparse(urlparse(urljoin(base, href)))` is
+#: href itself and the netloc is the authority group — proven by the
+#: differential test in tests/test_content.py (fixtures + fuzz).
+#: No brackets anywhere (urlparse raises on unbalanced '['/']' — the
+#: returns-None contract), no semicolons (urlunparse drops an EMPTY params
+#: segment, so 'x;' -> 'x'), \Z not $ (a $ would match before a trailing
+#: newline that urlsplit strips) — all such hrefs take the slow path.
+_FAST_ABS = re.compile(
+    r"^(https?)://([A-Za-z0-9._~%!$&'()*+,=:@-]+)([/?#][^\s;\[\]]*)?\Z"
+)
+
+
 @lru_cache(maxsize=65536)
-def _absolutize(base: str, href: str) -> Optional[tuple[str, str]]:
+def _absolutize_slow(base: str, href: str) -> Optional[tuple[str, str]]:
     """``(urlunparse(urlparse(urljoin(base, href))), netloc)``, or None if
     unparsable. Memoized: inside a long-lived executor the same
     (page-url, href) pairs recur constantly — nav/footer links repeat on
@@ -41,6 +57,18 @@ def _absolutize(base: str, href: str) -> Optional[tuple[str, str]]:
     except ValueError:
         return None
     return urlunparse(parsed), parsed.netloc
+
+
+def _absolutize(base: str, href: str) -> Optional[tuple[str, str]]:
+    """Absolutized href + netloc; regex fast path for clean absolute URLs
+    (the common case in a crawl — no urljoin, no cache traffic), urllib
+    slow path for everything else."""
+    m = _FAST_ABS.match(href)
+    if m and href[-1] not in "?#" and "?#" not in href:
+        # trailing '?'/'#' and '?#' are EMPTY query/fragment components,
+        # which urlunparse drops — those go through the slow path.
+        return href, m.group(2)
+    return _absolutize_slow(base, href)
 
 #: Subtrees whose text never reaches the body text (reference content.py:14).
 EXCLUDED_CONTENT_TAGS = frozenset({"figcaption", "table"})
