@@ -317,6 +317,59 @@ def inverted_index(
     )
 
 
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every matching document against a
+    bag-of-terms query: ``(doc_id, bm25)`` for documents containing at
+    least one query term. The retrieval-scoring step of a search/RAG
+    pipeline (Robertson/Sparck-Jones idf, the Lucene ``ln(1 + ...)``
+    form, so idf stays positive for df > N/2).
+
+    100-TB shape: the explode is filtered to the query terms immediately
+    (column-pruned scan -> explode -> filter, no full-vocabulary shuffle);
+    document length rides through the explode so no doc-table rejoin;
+    per-term document frequencies are a |query|-row broadcast; corpus
+    totals (N, avgdl) are a 1-row broadcast cross-join — the only
+    corpus-wide shuffles are the (doc, term) tf aggregation and the final
+    per-doc sum, both map-side combined.
+    """
+    dl = F.size(_words(text_col))
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        dl.alias("dl"),
+        F.explode(_words(text_col)).alias("token"),
+    ).where(F.col("token").isin(list(query_terms)))
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    totals = docs.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg(dl).alias("avgdl"),
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tf_part = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(totals))
+        .select("doc_id", (idf * tf_part).alias("s"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("s"), 6).alias("bm25"))
+    )
+
+
 def collocations(
     docs: DataFrame,
     id_col: str = "doc_id",

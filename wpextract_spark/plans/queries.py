@@ -610,6 +610,44 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Fixed retrieval query for q_bm25 (terms present in the synthetic corpus).
+_BM25_TERMS = ("spark", "query", "join", "vector")
+
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval scoring against a fixed bag-of-terms query
+    (operators/textstats.py:bm25_scores). Scores rounded to 6 dp — the
+    per-document sum order differs between engines."""
+    from wpextract_spark.operators.textstats import bm25_scores
+
+    return bm25_scores(_t(spark, sf_dir, "documents"), list(_BM25_TERMS))
+
+
+ORACLE_BM25 = f"""
+WITH t AS (
+  SELECT doc_id,
+         len(string_split_regex(trim(text), '{WS_SQL}')) AS dl,
+         unnest(string_split_regex(trim(text), '{WS_SQL}')) AS token
+  FROM documents),
+tf AS (
+  SELECT doc_id, token, CAST(count(*) AS DOUBLE) AS tf, min(dl) AS dl
+  FROM t WHERE token IN ('spark','query','join','vector')
+  GROUP BY doc_id, token),
+dfreq AS (SELECT token, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY token),
+totals AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         avg(len(string_split_regex(trim(text), '{WS_SQL}'))) AS avgdl
+  FROM documents)
+SELECT doc_id,
+       round(sum(
+         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+         * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+       ), 6) AS bm25
+FROM tf JOIN dfreq USING (token) CROSS JOIN totals
+GROUP BY doc_id
+"""
+
+
 def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram collocations scored by PMI
     (operators/textstats.py:collocations)."""
@@ -2400,6 +2438,7 @@ QUERIES = {
     "q_inverted_index": q_inverted_index,
     "q_user_deciles": q_user_deciles,
     "q_value_bands": q_value_bands,
+    "q_bm25": q_bm25,
     "q_collocations": q_collocations,
     "q_events_cube": q_events_cube,
     "q_dedup_exact": q_dedup_exact,
@@ -2471,6 +2510,7 @@ ORACLES = {
     "q_inverted_index": ORACLE_INVERTED_INDEX,
     "q_user_deciles": ORACLE_USER_DECILES,
     "q_value_bands": ORACLE_VALUE_BANDS,
+    "q_bm25": ORACLE_BM25,
     "q_collocations": ORACLE_COLLOCATIONS,
     "q_events_cube": ORACLE_EVENTS_CUBE,
     "q_dedup_exact": ORACLE_DEDUP_EXACT,
