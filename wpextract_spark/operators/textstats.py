@@ -334,10 +334,11 @@ def bm25_scores(
     100-TB shape: the explode is filtered to the query terms immediately
     (column-pruned scan -> explode -> filter, no full-vocabulary shuffle);
     document length rides through the explode so no doc-table rejoin;
-    per-term document frequencies are a |query|-row broadcast; corpus
-    totals (N, avgdl) are a 1-row broadcast cross-join — the only
-    corpus-wide shuffles are the (doc, term) tf aggregation and the final
-    per-doc sum, both map-side combined.
+    per-term document frequencies come from a window over the tf table
+    itself (a second reference would re-execute the whole scan->explode
+    lineage — Spark does not reuse the duplicated exchange here); corpus
+    totals (N, avgdl) are a 1-row broadcast cross-join. One lineage, three
+    shuffles: (doc, term) tf aggregation, the token window, the per-doc sum.
     """
     dl = F.size(_words(text_col))
     toks = docs.select(
@@ -345,10 +346,14 @@ def bm25_scores(
         dl.alias("dl"),
         F.explode(_words(text_col)).alias("token"),
     ).where(F.col("token").isin(list(query_terms)))
+    from pyspark.sql import Window
+
     tf = toks.groupBy("doc_id", "token").agg(
         F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
     )
-    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    tf = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("token"))
+    )
     totals = docs.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.avg(dl).alias("avgdl"),
@@ -362,8 +367,7 @@ def bm25_scores(
         + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
     )
     return (
-        tf.join(F.broadcast(dfreq), "token")
-        .crossJoin(F.broadcast(totals))
+        tf.crossJoin(F.broadcast(totals))
         .select("doc_id", (idf * tf_part).alias("s"))
         .groupBy("doc_id")
         .agg(F.round(F.sum("s"), 6).alias("bm25"))
