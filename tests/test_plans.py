@@ -137,3 +137,32 @@ def test_textstats_queries_are_codegen_only(spark):
     for fn in (q_token_stats, q_quality_scores, q_fingerprints, q_bpe_tokens):
         plan = _plan(fn(spark, "/root/testdata/sf0.001"))
         assert "EvalPython" not in plan, f"{fn.__name__} fell back to Python:\n{plan}"
+
+
+def test_collocations_scans_corpus_twice(spark):
+    """PMI totals and unigram-join sides must read the persisted count
+    tables, not re-execute the scan->explode lineage: after execution the
+    outer plan contains no parquet scan at all (both real corpus passes
+    happen inside the two cached relations)."""
+    import re
+
+    from wpextract_spark.plans.queries import q_collocations
+
+    df = q_collocations(spark, "/root/testdata/sf0.001")
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    outer, skip = [], None
+    for line in plan.splitlines():
+        indent = len(line) - len(line.lstrip(" :+-*("))
+        if skip is not None:
+            if indent > skip:
+                continue
+            skip = None
+        if "InMemoryRelation" in line or "== Initial Plan ==" in line:
+            skip = indent
+            continue
+        outer.append(line)
+    outer_txt = "\n".join(outer)
+    assert not re.search(r"FileScan parquet", outer_txt)
+    # exactly the two cached count tables feed everything downstream
+    assert outer_txt.count("InMemoryTableScan") >= 4

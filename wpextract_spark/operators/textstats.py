@@ -395,10 +395,22 @@ def collocations(
     cannot reach a comparator. Corpus totals (unigram/bigram counts) are
     1-row aggregates broadcast-cross-joined in — no eager ``.count()``
     action, the whole operator stays one lazy dataflow.
+
+    The corpus is scanned exactly TWICE (one unigram explode, one bigram
+    explode): every other consumer — the two unigram-count join sides and
+    both totals — reads the persisted count tables, which are
+    aggregation-sized, not corpus-sized. Without the persists each
+    reference re-executes the full scan->explode lineage (Spark does not
+    reuse the duplicated exchanges; measured 5 corpus scans for this
+    operator at head of round 3).
     """
+    from pyspark import StorageLevel
+
     toks = docs.select(_words(text_col).alias("ts"))
     uni = toks.select(F.explode("ts").alias("w"))
-    ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     pairs = toks.select(
         F.explode(
             F.arrays_zip(
@@ -407,16 +419,19 @@ def collocations(
             )
         ).alias("bg")
     ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
-    totals = F.broadcast(
-        uni.agg(F.count(F.lit(1)).cast("double").alias("n_uni")).crossJoin(
-            pairs.agg(F.count(F.lit(1)).cast("double").alias("n_big"))
-        )
-    )
-    pcnt = (
+    pcnt_all = (
         pairs.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("pair_count"))
-        .where(F.col("pair_count") >= min_pair_count)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # Totals from the count tables (sum of counts == total token/bigram
+    # occurrences), NOT from a corpus re-scan.
+    totals = F.broadcast(
+        ucnt.agg(F.sum("c").cast("double").alias("n_uni")).crossJoin(
+            pcnt_all.agg(F.sum("pair_count").cast("double").alias("n_big"))
+        )
+    )
+    pcnt = pcnt_all.where(F.col("pair_count") >= min_pair_count)
     c1 = ucnt.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
     c2 = ucnt.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
     return (
