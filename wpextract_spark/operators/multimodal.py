@@ -237,6 +237,44 @@ def png_pixel_stats(media: DataFrame, payload_col: str = "payload") -> DataFrame
     )
 
 
+def image_pixel_stats(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """REAL pixel decode for PNG *and* GIF payloads (magic-dispatched to
+    kernel/pngcodec.py or kernel/gifcodec.py — zlib inflate + unfilter /
+    LZW decode, no codec library). Same schema and quarantine contract as
+    :func:`png_pixel_stats`; JPEG payloads yield nulls (a baseline-DCT
+    entropy decoder is where pure Python stops being honest — that stays
+    behind the pluggable decoder seam)."""
+    import numpy as np
+
+    from wpextract_spark.kernel.gifcodec import decode_gif
+    from wpextract_spark.kernel.pngcodec import decode_png
+
+    def _stats(payload: bytes):
+        decoded = decode_png(payload)
+        if decoded is None:
+            decoded = decode_gif(payload)
+        if decoded is None:
+            return None
+        width, height, channels, pixels = decoded
+        total = int(np.frombuffer(pixels, dtype=np.uint8).sum(dtype=np.int64))
+        return (width, height, channels, width * height, total)
+
+    return _sniff_metadata(
+        media,
+        _stats,
+        [
+            ("width", "Int32"),
+            ("height", "Int32"),
+            ("channels", "Int32"),
+            ("n_pixels", "Int64"),
+            ("pixel_sum", "Int64"),
+        ],
+        "media_id long, kind string, width int, height int, channels int, "
+        "n_pixels long, pixel_sum long",
+        payload_col,
+    )
+
+
 def png_resize(
     media: DataFrame, width: int, height: int, payload_col: str = "payload"
 ) -> DataFrame:

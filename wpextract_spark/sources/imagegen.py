@@ -70,8 +70,62 @@ def build_gradient_image(doc_id: int) -> tuple[int, int, int, bytes]:
     return width, height, base, build_png_gradient(width, height, base)
 
 
+def _lzw_uncompressed(indices: bytes, min_code_size: int = 8) -> bytes:
+    """REAL GIF LZW stream in 'uncompressed' form: literal codes with a
+    CLEAR before the decoder's table would force a code-width growth
+    (2^min_code_size - 2 literals per cycle), so a spec-complete decoder
+    reads it and the stream stays trivially verifiable."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    cycle_max = clear - 2  # decoder table: clear+2 + (k-1) stays < 2*clear
+    codes = [clear]
+    cycle = 0
+    for b in indices:
+        if cycle == cycle_max:
+            codes.append(clear)
+            cycle = 0
+        codes.append(b)
+        cycle += 1
+    codes.append(eoi)
+    width = min_code_size + 1
+    bitbuf = bitcnt = 0
+    out = bytearray()
+    for c in codes:  # LSB-first packing (GIF89a appendix F)
+        bitbuf |= c << bitcnt
+        bitcnt += width
+        while bitcnt >= 8:
+            out.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            bitcnt -= 8
+    if bitcnt:
+        out.append(bitbuf & 0xFF)
+    return bytes(out)
+
+
+def build_gif_gradient(width: int, height: int, base: int) -> bytes:
+    """Valid GIF89a whose pixel at (row r, col c) is gray (base+r+c) % 256 —
+    a real LZW-coded image (kernel/gifcodec.py decodes it), with the same
+    SQL-restatable pixel arithmetic as :func:`build_png_gradient`."""
+    header = b"GIF89a" + struct.pack("<HH", width, height) + b"\xf7\x00\x00"
+    palette = bytes(v for i in range(256) for v in (i, i, i))
+    descriptor = b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+    indices = bytes(
+        (base + r + c) % 256 for r in range(height) for c in range(width)
+    )
+    stream = _lzw_uncompressed(indices)
+    blocks = bytearray([8])  # LZW minimum code size
+    for i in range(0, len(stream), 255):
+        chunk = stream[i : i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)
+    return header + palette + descriptor + bytes(blocks) + b"\x3b"
+
+
 def build_gif(width: int, height: int) -> bytes:
-    """Complete valid 2-color GIF89a of the given dimensions."""
+    """Header-complete 2-color GIF89a of the given dimensions for metadata
+    sniffing — the pixel stream is a minimal stub (metadata tests build
+    65535x65535 headers; a real stream would be gigabytes). For decodable
+    pixels use :func:`build_gif_gradient`."""
     header = b"GIF89a" + struct.pack("<HH", width, height) + b"\x80\x00\x00"
     palette = b"\x00\x00\x00\xff\xff\xff"
     descriptor = b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
