@@ -99,7 +99,7 @@ def _run_probe(tmp: str) -> tuple[dict, dict]:
         raise RuntimeError(f"page generation failed:\n{gen.stderr[-2000:]}")
     probe = _worker(input_path, CORES, trials=3)
 
-    rounds = int(os.environ.get("BENCH_SCALING_ROUNDS", "2"))
+    rounds = int(os.environ.get("BENCH_SCALING_ROUNDS", "3"))
     scaling: dict = {"pair": [2, 8], "rounds": []}
     for _ in range(rounds):
         lo = _worker(input_path, 2, trials=2)
@@ -113,12 +113,37 @@ def _run_probe(tmp: str) -> tuple[dict, dict]:
             }
         )
     if scaling["rounds"]:
-        scaling["eff_2_8"] = max(r["eff"] for r in scaling["rounds"])
+        effs = sorted(r["eff"] for r in scaling["rounds"])
+        # Headline = MEDIAN paired-round efficiency (one lucky round can no
+        # longer set it); max kept alongside as the closest view of the
+        # unloaded machine under one-sided co-tenant noise.
+        scaling["eff_2_8"] = effs[len(effs) // 2]
+        scaling["eff_2_8_max"] = effs[-1]
+        scaling["eff_2_8_all"] = effs
     return probe, scaling
+
+
+def _hw_control(seconds: float = 3.0) -> float:
+    """No-Spark single-core kernel rate (docs/sec): the co-tenant-load
+    control. Recorded in every BENCH JSON so round-over-round wall-time
+    swings can be attributed to the shared VM vs the code."""
+    from wpextract_spark.htmlkit.dom import parse_html
+    from wpextract_spark.kernel.content import extract_content
+    from wpextract_spark.sources.synth import synth_page
+
+    pages = [synth_page(i, 42) for i in range(200)]
+    t0 = time.perf_counter()
+    count = 0
+    while time.perf_counter() - t0 < seconds:
+        for p in pages:
+            extract_content(parse_html(p["html"]), p["url"])
+            count += 1
+    return round(count / (time.perf_counter() - t0), 1)
 
 
 def main() -> None:
     # Probe before ANY Spark exists in this process (see module docstring).
+    hw_before = _hw_control()
     with tempfile.TemporaryDirectory(prefix="bench_pages_") as tmp:
         probe, scaling = _run_probe(tmp)
 
@@ -148,6 +173,8 @@ def main() -> None:
     warm = spark.range(par * 4, numPartitions=par).mapInPandas(_ident, "id long")
     _force(warm.select(_warm(F.col("id").cast("double")).alias("x")))
 
+    from wpextract_spark.operators import cache as op_cache
+
     total = 0.0
     for name, fn in QUERIES.items():
         t0 = time.perf_counter()
@@ -155,6 +182,9 @@ def main() -> None:
         dt = time.perf_counter() - t0
         timings[name] = round(dt, 3)
         total += dt
+        # Drop operator-internal persisted blocks so one query's caches
+        # never skew a later query's memory headroom.
+        op_cache.release()
 
     timings["extract_throughput"] = round(probe["wall_s"], 3)
     total += probe["wall_s"]
@@ -170,7 +200,18 @@ def main() -> None:
         "cores": probe["cores"],
         "scaling": scaling,
         "scaling_eff_2_8": scaling.get("eff_2_8"),
+        "scaling_eff_2_8_max": scaling.get("eff_2_8_max"),
+        "hw_control_docs_per_sec_1core": {
+            "before": hw_before,
+            "after": _hw_control(),
+        },
     }
+    # Durable copy: driver-captured BENCH tails have truncated before (r03's
+    # headline was unrecoverable from the artifact); the full blob always
+    # lands in-repo too.
+    out_file = Path(__file__).parent / "BENCH" / "last_run.json"
+    out_file.parent.mkdir(exist_ok=True)
+    out_file.write_text(json.dumps(result, indent=2) + "\n")
     print(json.dumps(result))
     spark.stop()
 

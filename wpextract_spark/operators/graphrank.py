@@ -128,4 +128,14 @@ def pagerank(
         # |E| — the right trade at crawl-graph scale.
         if checkpoint and it + 1 < n_iter:
             ranks = ranks.localCheckpoint(eager=False)
+    if checkpoint:
+        # The loop-invariant caches (the corpus-sized weighted-edge table!)
+        # must outlive this call — the returned plan still reads them — but
+        # must not accumulate across repeated pagerank() calls in a
+        # long-lived session. Register for deterministic release:
+        # ``cache.release("pagerank")`` after consuming the ranks.
+        from wpextract_spark.operators.cache import track
+
+        track(weighted, scope="pagerank")
+        track(nodes, scope="pagerank")
     return ranks.select("node", "rank")

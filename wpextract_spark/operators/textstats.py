@@ -340,6 +340,10 @@ def bm25_scores(
     totals (N, avgdl) are a 1-row broadcast cross-join. One lineage, three
     shuffles: (doc, term) tf aggregation, the token window, the per-doc sum.
     """
+    # NULL text must not reach the corpus totals: Spark's size(NULL) is -1,
+    # which would skew avgdl and count the doc in N, while SQL engines drop
+    # NULLs from AVG — filter once so both engines see the same corpus.
+    docs = docs.where(F.col(text_col).isNotNull())
     dl = F.size(_words(text_col))
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -403,13 +407,23 @@ def collocations(
     reference re-executes the full scan->explode lineage (Spark does not
     reuse the duplicated exchanges; measured 5 corpus scans for this
     operator at head of round 3).
+
+    The two persisted count tables are registered with
+    :mod:`wpextract_spark.operators.cache`; call
+    ``cache.release("collocations")`` after consuming the result to drop
+    their blocks in a long-lived session.
     """
     from pyspark import StorageLevel
 
+    from wpextract_spark.operators.cache import track
+
     toks = docs.select(_words(text_col).alias("ts"))
     uni = toks.select(F.explode("ts").alias("w"))
-    ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c")).persist(
-        StorageLevel.MEMORY_AND_DISK
+    ucnt = track(
+        uni.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK),
+        scope="collocations",
     )
     pairs = toks.select(
         F.explode(
@@ -419,10 +433,11 @@ def collocations(
             )
         ).alias("bg")
     ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
-    pcnt_all = (
+    pcnt_all = track(
         pairs.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("pair_count"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .persist(StorageLevel.MEMORY_AND_DISK),
+        scope="collocations",
     )
     # Totals from the count tables (sum of counts == total token/bigram
     # occurrences), NOT from a corpus re-scan.

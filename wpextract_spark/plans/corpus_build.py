@@ -75,7 +75,22 @@ def build_training_corpus(
     # key downstream, so derive the id from it deterministically.
     docs = docs.withColumn("doc_id", F.xxhash64(F.col("url")))
     n_pages = pages.count()
-    n_extracted = docs.count()
+    # Enforce the uniqueness the deterministic id relies on: documents
+    # sharing a url (or a colliding 64-bit hash) would silently conflate
+    # dedup keys, joins, and chunk offsets downstream. Piggybacked on the
+    # extract count — a url-column aggregate, not a corpus re-layout (the
+    # upstream crawl contract already guarantees first-wins-unique urls).
+    counts = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("doc_id").alias("n_ids"),
+    ).collect()[0]
+    n_extracted = counts["n"]
+    if counts["n_ids"] != n_extracted:
+        raise ValueError(
+            f"doc_id collision: {n_extracted} extracted docs but only "
+            f"{counts['n_ids']} distinct xxhash64(url) ids — input pages "
+            "must have unique urls (run crawl first-wins dedup upstream)"
+        )
     metrics["stages"]["extract"] = {"in": n_pages, "out": n_extracted}
 
     # 2. curate

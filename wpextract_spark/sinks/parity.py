@@ -154,6 +154,12 @@ def export_entity_json_distributed(
 
     shard_dir = Path(str(path) + ".shards")
     shard_dir.mkdir(parents=True, exist_ok=True)
+    # A previous crashed/concurrent export must never leak fragments into
+    # this run's output: clear stale frags up front, and below the shard
+    # list is derived from THIS job's collected (idx, count) pairs — never
+    # from a directory glob.
+    for stale in shard_dir.glob("part-*.frag*"):
+        stale.unlink()
     cols = list(export_columns)
     ren = dict(rename)
     shard_path = str(shard_dir)
@@ -161,6 +167,7 @@ def export_entity_json_distributed(
     def render_partition(idx, rows):
         import json as _json
         import os as _os
+        import uuid as _uuid
 
         frags = [
             "  "
@@ -171,12 +178,21 @@ def export_entity_json_distributed(
         ]
         if frags:
             shard = _os.path.join(shard_path, f"part-{idx:05d}.frag")
-            with open(shard, "w") as handle:
+            # Attempt-unique temp + atomic rename: under task retry or
+            # speculation the losing attempt's rename just overwrites with
+            # byte-identical content — no torn or duplicated shards.
+            tmp = f"{shard}.{_uuid.uuid4().hex}.tmp"
+            with open(tmp, "w") as handle:
                 handle.write(",\n".join(frags))
+            _os.replace(tmp, shard)
         yield (idx, len(frags))
 
     counts = dict(df.orderBy(ORD).rdd.mapPartitionsWithIndex(render_partition).collect())
-    shards = sorted(shard_dir.glob("part-*.frag"))
+    shards = [
+        shard_dir / f"part-{idx:05d}.frag"
+        for idx in sorted(counts)
+        if counts[idx]
+    ]
     with open(path, "w") as out:
         if not shards:
             out.write("[]")
