@@ -2,13 +2,14 @@
 
 Images/audio/video are carried as ``binary`` columns with a metadata struct;
 decode / feature-extract / resize / frame-sample run as Arrow-batched stages
-over ``mapInPandas``. Decode depth by modality: PNG pixel decode and resize
-are REAL (kernel/pngcodec.py — stdlib zlib inflate + unfilter, no codec
-library), as are image/audio header metadata (kernel/imagemeta.py,
-kernel/audiometa.py); JPEG/GIF pixel decode and video codecs need
-PIL/ffmpeg, which are not in this environment — those stay behind
-``NotImplementedError`` plus a deterministic fake so the Spark-side plumbing
-(schema, batch shape, partitioning) is real and tested either way.
+over ``mapInPandas``. Decode depth by modality: PNG, GIF, and baseline JPEG
+pixel decode are REAL (kernel/pngcodec.py zlib inflate + unfilter,
+kernel/gifcodec.py variable-width LZW, kernel/jpegcodec.py Huffman + IDCT —
+no codec library), as are PNG resize and image/audio header metadata
+(kernel/imagemeta.py, kernel/audiometa.py); video codecs need ffmpeg, which
+is not in this environment — those stay behind ``NotImplementedError`` plus
+a deterministic fake so the Spark-side plumbing (schema, batch shape,
+partitioning) is real and tested either way.
 """
 
 from __future__ import annotations
@@ -45,10 +46,11 @@ def _fake_decode(payload: bytes) -> list[float]:
 
 def _real_decode(payload: bytes) -> list[float]:  # pragma: no cover - stub
     raise NotImplementedError(
-        "generic media decoding requires PIL/ffmpeg/librosa, not present in "
-        "this environment; plug a decoder via "
-        "extract_media_features(decoder=...). PNG pixel decode IS real — "
-        "use png_decoder / png_pixel_stats (kernel/pngcodec.py)."
+        "generic media decoding (video/exotic formats) requires ffmpeg, not "
+        "present in this environment; plug a decoder via "
+        "extract_media_features(decoder=...). PNG/GIF/baseline-JPEG pixel "
+        "decode IS real — use image_pixel_stats (kernel/pngcodec.py, "
+        "kernel/gifcodec.py, kernel/jpegcodec.py)."
     )
 
 
@@ -238,21 +240,25 @@ def png_pixel_stats(media: DataFrame, payload_col: str = "payload") -> DataFrame
 
 
 def image_pixel_stats(media: DataFrame, payload_col: str = "payload") -> DataFrame:
-    """REAL pixel decode for PNG *and* GIF payloads (magic-dispatched to
-    kernel/pngcodec.py or kernel/gifcodec.py — zlib inflate + unfilter /
-    LZW decode, no codec library). Same schema and quarantine contract as
-    :func:`png_pixel_stats`; JPEG payloads yield nulls (a baseline-DCT
-    entropy decoder is where pure Python stops being honest — that stays
-    behind the pluggable decoder seam)."""
+    """REAL pixel decode for PNG, GIF, *and* baseline JPEG payloads
+    (magic-dispatched to kernel/pngcodec.py, kernel/gifcodec.py, or
+    kernel/jpegcodec.py — zlib inflate + unfilter / LZW decode / Huffman +
+    IDCT, no codec library). Same schema and quarantine contract as
+    :func:`png_pixel_stats`: undecodable payloads (progressive JPEG,
+    truncated streams, foreign formats) yield nulls."""
     import numpy as np
 
     from wpextract_spark.kernel.gifcodec import decode_gif
+    from wpextract_spark.kernel.jpegcodec import decode_jpeg
     from wpextract_spark.kernel.pngcodec import decode_png
 
     def _stats(payload: bytes):
-        decoded = decode_png(payload)
-        if decoded is None:
-            decoded = decode_gif(payload)
+        if payload[:2] == b"\xff\xd8":
+            decoded = decode_jpeg(payload)
+        else:
+            decoded = decode_png(payload)
+            if decoded is None:
+                decoded = decode_gif(payload)
         if decoded is None:
             return None
         width, height, channels, pixels = decoded
@@ -315,6 +321,22 @@ def gradient_image_build_udf():
     def _build(ids: pd.Series) -> pd.Series:
         return pd.Series(
             [build_gradient_image(int(i))[3] for i in ids], dtype="object"
+        )
+
+    return _build
+
+
+def gradient_jpeg_build_udf():
+    """doc_id -> deterministic block-gradient baseline JPEG
+    (sources/imagegen.py) whose decoded pixel sum is SQL-restatable (pixels
+    constant per 8x8 block => DC-only spectrum => bit-exact round-trip) —
+    the test/bench inverse of :func:`image_pixel_stats` for JPEG."""
+    from wpextract_spark.sources.imagegen import build_gradient_jpeg
+
+    @F.pandas_udf("binary")
+    def _build(ids: pd.Series) -> pd.Series:
+        return pd.Series(
+            [build_gradient_jpeg(int(i))[3] for i in ids], dtype="object"
         )
 
     return _build

@@ -1719,6 +1719,59 @@ FROM px
 """
 
 
+def q_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG pixel decode, oracle-checked: synthesize a
+    deterministic block-gradient JPEG per document (sources/imagegen.py —
+    actual DCT + Annex-K Huffman entropy coding), then Huffman-decode +
+    IDCT the pixels back out (kernel/jpegcodec.py) and emit exact integer
+    pixel sums. Pixels are constant per 8x8 block, so the spectrum is
+    DC-only and the round-trip is bit-exact — the oracle restates the
+    generator's block arithmetic ((base + r//8 + c//8) % 256) without
+    modeling DCT rounding. Goes through the magic-dispatched
+    image_pixel_stats so the PNG/GIF/JPEG dispatch path is the thing
+    driver-checked."""
+    from wpextract_spark.operators.multimodal import (
+        gradient_jpeg_build_udf,
+        image_pixel_stats,
+    )
+
+    media = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("jpeg").alias("kind"),
+        gradient_jpeg_build_udf()(F.col("doc_id")).alias("payload"),
+    )
+    return image_pixel_stats(media)
+
+
+ORACLE_JPEG_PIXELS = """
+WITH d AS (
+  SELECT doc_id,
+         16 + doc_id % 100 AS w,
+         16 + (doc_id * 7) % 100 AS h,
+         (doc_id * 37) % 256 AS base
+  FROM documents),
+px AS (
+  -- sum over the block grid: block (br, bc) holds
+  -- least(8, h - 8*br) x least(8, w - 8*bc) pixels of constant value
+  -- (base + br + bc) % 256. (range() takes a constant — this DuckDB build
+  -- rejects lateral-correlated table-function parameters.)
+  SELECT d.doc_id, d.w, d.h,
+         CAST(sum(
+           ((d.base + br.v + bc.v) % 256)
+           * least(8, d.h - br.v * 8) * least(8, d.w - bc.v * 8)
+         ) AS BIGINT) AS pixel_sum
+  FROM d
+  JOIN range(16) br(v) ON br.v * 8 < d.h
+  JOIN range(16) bc(v) ON bc.v * 8 < d.w
+  GROUP BY d.doc_id, d.w, d.h)
+SELECT doc_id AS media_id, 'jpeg' AS kind,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(1 AS INTEGER) AS channels,
+       CAST(w * h AS BIGINT) AS n_pixels, pixel_sum
+FROM px
+"""
+
+
 def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real audio-metadata decode: synthesize a deterministic PCM WAV per
     document, sniff sample rate / channels / samples / duration from the
@@ -2426,6 +2479,7 @@ QUERIES = {
     # Queries with the least driver-green history are listed first so every
     # registry entry accumulates hard-signal rows; the 3x-green basics sit at
     # the tail (they are also pinned by the pytest gate / byte-parity e2e).
+    "q_jpeg_pixels": q_jpeg_pixels,  # new in round 4 — needs a driver row
     "q_line_dedup": q_line_dedup,
     "q_pii_scrub": q_pii_scrub,
     "q_c4_filter": q_c4_filter,
@@ -2543,6 +2597,7 @@ ORACLES = {
     "q_multimodal_features": ORACLE_MULTIMODAL,
     "q_image_meta": ORACLE_IMAGE_META,
     "q_png_pixels": ORACLE_PNG_PIXELS,
+    "q_jpeg_pixels": ORACLE_JPEG_PIXELS,
     "q_audio_meta": ORACLE_AUDIO_META,
     "q_frame_sample": ORACLE_FRAME_SAMPLE,
     "q_pdf_roundtrip": ORACLE_PDF_ROUNDTRIP,
