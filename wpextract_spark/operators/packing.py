@@ -37,11 +37,15 @@ def sequence_pack(
     seq_len: int = 2048,
     bucket_width: int = 65536,
     materialize: bool = False,
+    token_counter: "Column | None" = None,
 ) -> DataFrame:
     """Per-document packing position: ``(id, n_tokens, offset, seq_index,
     n_seqs_spanned)``.
 
-    ``n_tokens`` counts BPE-style regex tokens plus one EOS separator;
+    ``n_tokens`` counts BPE-style regex tokens plus one EOS separator by
+    default; pass ``token_counter`` (a Column producing a per-row token
+    count, e.g. :func:`wpextract_spark.operators.bpe.bpe_token_count_expr`
+    for REAL trained-merge BPE counts) to pack genuine token streams;
     ``offset`` is the exclusive prefix sum of ``n_tokens`` in ``id`` order
     (the document's first token position in the packed stream);
     ``seq_index`` is the training sequence containing that first token;
@@ -65,8 +69,13 @@ def sequence_pack(
     inspection and the oracle gate.
     """
     n_tokens = (
-        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_SPLIT_RE), 0)) + 1
-    ).cast("long")
+        token_counter
+        if token_counter is not None
+        else (
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_SPLIT_RE), 0))
+            + 1
+        ).cast("long")
+    )
     base = docs.select(
         F.col(id_col),
         n_tokens.alias("n_tokens"),

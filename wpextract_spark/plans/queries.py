@@ -1525,6 +1525,84 @@ FROM c
 """
 
 
+#: merge count for the oracle-checked BPE query — small enough that the
+#: unrolled-CTE oracle stays readable, large enough that merges chain
+#: (merged tokens re-merge with neighbors).
+BPE_QUERY_MERGES = 12
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL byte-pair encoding, oracle-checked end to end: train
+    BPE_QUERY_MERGES merges on the documents corpus (distributed word-freq
+    aggregation -> driver merge loop, operators/bpe.py), then encode every
+    document through the broadcast merge list with the Arrow UDF and emit
+    per-document real token counts. The oracle restates BOTH phases in
+    DuckDB — training as an unrolled chain of pair-count/argmax/replace
+    CTEs (selection: max count, then lexicographically smallest pair;
+    application: leftmost non-overlapping replace on a \\x1f-separated
+    symbol string — bitwise the semantics of the Python trainer), encoding
+    as a word-level lookup join against the trained table."""
+    from wpextract_spark.operators.bpe import bpe_encode, bpe_train
+
+    docs = _t(spark, sf_dir, "documents").where(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    merges = bpe_train(docs, n_merges=BPE_QUERY_MERGES)
+    return bpe_encode(docs, merges)
+
+
+def _oracle_bpe_encode(n_merges: int = BPE_QUERY_MERGES) -> str:
+    """Unrolled BPE training + encoding in pure SQL (see q_bpe_encode)."""
+    levels = []
+    for i in range(n_merges):
+        # MATERIALIZED is load-bearing: each level references the previous
+        # twice (pair counts + rewrite), so inlined CTEs would expand the
+        # chain 2^n_merges times.
+        levels.append(
+            f"""p{i} AS MATERIALIZED (
+  SELECT t[pos] AS a, t[pos + 1] AS b, sum(freq) AS c
+  FROM (SELECT string_split(trim(toks, chr(31)), chr(31)) AS t, freq
+        FROM w{i}),
+       LATERAL unnest(generate_series(1, greatest(len(t) - 1, 0))) AS g(pos)
+  GROUP BY 1, 2),
+b{i} AS MATERIALIZED (SELECT a, b FROM p{i} ORDER BY c DESC, a, b LIMIT 1),
+w{i + 1} AS MATERIALIZED (
+  SELECT w.word,
+         CASE WHEN b.a IS NULL THEN w.toks
+              ELSE replace(w.toks, b.a || chr(31) || b.b, b.a || b.b)
+         END AS toks,
+         w.freq
+  FROM w{i} w LEFT JOIN b{i} b ON TRUE)"""
+        )
+    unrolled = ",\n".join(levels)
+    return rf"""
+WITH dw AS (
+  SELECT doc_id, word
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(trim(text), '{WS_SQL}')) AS word
+        FROM documents
+        WHERE text IS NOT NULL AND trim(text) <> '')
+  WHERE word <> ''),
+wf AS (SELECT word, count(*) AS freq FROM dw GROUP BY word),
+w0 AS MATERIALIZED (
+  SELECT word,
+         chr(31) || array_to_string(string_split_regex(word, ''), chr(31))
+                 || chr(31) AS toks,
+         freq
+  FROM wf),
+{unrolled},
+enc AS (
+  SELECT word,
+         len(string_split(trim(toks, chr(31)), chr(31))) AS n_toks
+  FROM w{n_merges})
+SELECT dw.doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(enc.n_toks) AS BIGINT) AS n_tokens
+FROM dw JOIN enc USING (word)
+GROUP BY dw.doc_id
+"""
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = documents_as_media(_t(spark, sf_dir, "documents"))
     feats = extract_media_features(media)
@@ -2480,6 +2558,7 @@ QUERIES = {
     # registry entry accumulates hard-signal rows; the 3x-green basics sit at
     # the tail (they are also pinned by the pytest gate / byte-parity e2e).
     "q_jpeg_pixels": q_jpeg_pixels,  # new in round 4 — needs a driver row
+    "q_bpe_encode": q_bpe_encode,  # new in round 4 — needs a driver row
     "q_line_dedup": q_line_dedup,
     "q_pii_scrub": q_pii_scrub,
     "q_c4_filter": q_c4_filter,
@@ -2598,6 +2677,7 @@ ORACLES = {
     "q_image_meta": ORACLE_IMAGE_META,
     "q_png_pixels": ORACLE_PNG_PIXELS,
     "q_jpeg_pixels": ORACLE_JPEG_PIXELS,
+    "q_bpe_encode": _oracle_bpe_encode(),
     "q_audio_meta": ORACLE_AUDIO_META,
     "q_frame_sample": ORACLE_FRAME_SAMPLE,
     "q_pdf_roundtrip": ORACLE_PDF_ROUNDTRIP,
