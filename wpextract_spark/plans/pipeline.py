@@ -187,6 +187,17 @@ class SparkSiteExtractor:
                     else flat["id"].apply(lambda _: None)
                 )
             },
+            derive_expr={
+                "og_image_url": lambda raw, present: (
+                    F.when(
+                        F.size(F.col("yoast_head_json.og_image")) >= 1,
+                        F.col("yoast_head_json.og_image")[0]["url"],
+                    )
+                    if "yoast_head_json.title" in present
+                    and "yoast_head_json.og_image" in present
+                    else F.lit(None)
+                )
+            },
         )
         ef.rename = dict(POSTS_RENAME)
         if ef.df is None:
@@ -278,6 +289,16 @@ class SparkSiteExtractor:
                     flat["yoast_head_json.og_image"].apply(lambda v: og_image_url(v, False))
                     if "yoast_head_json.og_image" in flat.columns
                     else flat["id"].apply(lambda _: None)
+                )
+            },
+            derive_expr={
+                "avatar": lambda raw, present: (
+                    F.when(
+                        F.size(F.col("yoast_head_json.og_image")) >= 1,
+                        F.col("yoast_head_json.og_image")[0]["url"],
+                    )
+                    if "yoast_head_json.og_image" in present
+                    else F.lit(None)
                 )
             },
         )
