@@ -138,3 +138,59 @@ def test_popcount64_matches_python_bitcount():
     vals[:3] = [0, 2**64 - 1, 2**63]
     got = _popcount64(vals)
     assert [int(g) for g in got] == [bin(int(v)).count("1") for v in vals]
+
+
+def test_stream_cache_verdicts_equal_batch_pair_operator(spark):
+    """The last stream/batch pair without an equivalence assert: the
+    streaming cache's verdicts must be DERIVABLE from the batch operator's
+    exact pair set. With a single bucket (prefix_bits=0), unlimited cache,
+    and max_hamming <= bands-1 (lossless pigeonhole banding, caps off),
+    the sequential replay of simhash_near_dup_pairs' pairs — first novel
+    doc wins, flagged docs never enter the cache — must reproduce every
+    stream flag AND matched_id. (Stream == neardup_batch state parity is
+    pinned by test_stream_matches_batch_and_state_crosses_microbatches.)"""
+    from wpextract_spark.operators.dedup import simhash_near_dup_pairs
+
+    topics = [BASE, OTHER,
+              "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+              "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi",
+              "download the quarterly compliance checklist template from "
+              "the portal and submit the signed copy before friday noon"]
+    rows = []
+    doc_id = 0
+    words = ["green", "quick", "lazy", "alpha", "sigma", "portal", "signed"]
+    for t_i, topic in enumerate(topics):
+        rows.append((doc_id, topic)); doc_id += 1
+        for v in range(3):  # clusters of near variants (transitivity matters)
+            tweak = topic
+            for w in words[: v + 1]:
+                tweak = tweak.replace(w, w + "x")
+            rows.append((doc_id, tweak)); doc_id += 1
+    docs = _docs(spark, rows)
+
+    h = 7  # <= bands-1: banding provably proposes every qualifying pair
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_dup_pairs(
+            docs, max_hamming=h, max_bucket=None
+        ).collect()
+    }
+    # Sequential replay of the batch pair set under the cache's rules.
+    expected = {}
+    novel: list[int] = []
+    for i in sorted(r[0] for r in rows):
+        match = next(
+            (j for j in novel if (min(i, j), max(i, j)) in pairs), None
+        )
+        expected[i] = (match is not None, match)
+        if match is None:
+            novel.append(i)
+    assert any(f for f, _ in expected.values()), "corpus produced no dups"
+
+    got = {
+        r["doc_id"]: (r["is_near_dup"], r["matched_id"])
+        for r in neardup_batch(
+            docs, max_hamming=h, prefix_bits=0, max_cached=1_000_000
+        ).collect()
+    }
+    assert got == expected

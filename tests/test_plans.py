@@ -139,6 +139,33 @@ def test_textstats_queries_are_codegen_only(spark):
         assert "EvalPython" not in plan, f"{fn.__name__} fell back to Python:\n{plan}"
 
 
+def test_bm25_four_exchanges_single_token_lineage(spark):
+    """BM25's pinned plan (PLANS.md): per-term document frequencies come
+    from a WINDOW over the tf table — one scan->explode lineage — never a
+    second explode; corpus totals are a 1-row SinglePartition aggregate.
+    Exactly 4 computational shuffles: (doc,term) tf agg, the token window,
+    the per-doc sum, the totals single-partition — anything more means the
+    df computation regressed to a second corpus lineage."""
+    from wpextract_spark.plans.queries import q_bm25
+
+    df = q_bm25(spark, "/root/testdata/sf0.001")
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    exchanges = [
+        l
+        for l in plan.splitlines()
+        if "Exchange" in l
+        and "Broadcast" not in l
+        and "Reused" not in l
+        and "RoundRobin" not in l  # input-loader repartitions, not operator shuffles
+    ]
+    assert len(exchanges) == 4, exchanges
+    keyed = [l for l in exchanges if "hashpartitioning" in l]
+    assert len(keyed) == 3 and sum("SinglePartition" in l for l in exchanges) == 1
+    # the explode feeding tf must appear exactly once (single token lineage)
+    assert plan.count("Generate explode") == 1, plan
+
+
 def test_collocations_scans_corpus_twice(spark):
     """PMI totals and unigram-join sides must read the persisted count
     tables, not re-execute the scan->explode lineage: after execution the
