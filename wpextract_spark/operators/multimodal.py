@@ -5,10 +5,12 @@ decode / feature-extract / resize / frame-sample run as Arrow-batched stages
 over ``mapInPandas``. Decode depth by modality: PNG, GIF, and baseline JPEG
 pixel decode are REAL (kernel/pngcodec.py zlib inflate + unfilter,
 kernel/gifcodec.py variable-width LZW, kernel/jpegcodec.py Huffman + IDCT —
-no codec library), as are PNG resize and image/audio header metadata
-(kernel/imagemeta.py, kernel/audiometa.py); video codecs need ffmpeg, which
-is not in this environment — those stay behind ``NotImplementedError`` plus
-a deterministic fake so the Spark-side plumbing (schema, batch shape,
+no codec library), as are PNG resize, image/audio header metadata
+(kernel/imagemeta.py, kernel/audiometa.py), and MJPEG-AVI video — container
+parse, frame sampling, per-frame pixel decode (kernel/avicodec.py).
+Inter-frame video codecs (H.264 ...) need ffmpeg, which is not in this
+environment — those stay behind ``NotImplementedError`` plus a
+deterministic fake so the Spark-side plumbing (schema, batch shape,
 partitioning) is real and tested either way.
 """
 
@@ -321,6 +323,103 @@ def gradient_image_build_udf():
     def _build(ids: pd.Series) -> pd.Series:
         return pd.Series(
             [build_gradient_image(int(i))[3] for i in ids], dtype="object"
+        )
+
+    return _build
+
+
+def video_metadata(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """REAL video-container metadata: dimensions / frame count / fps /
+    duration from the RIFF chunk tree of an MJPEG AVI
+    (kernel/avicodec.py — O(header + chunk walk), frame bytes untouched).
+    Foreign/corrupt payloads yield nulls."""
+    from wpextract_spark.kernel.avicodec import parse_avi
+
+    def _sniff(payload: bytes):
+        meta = parse_avi(payload)
+        if meta is None:
+            return None
+        return (
+            "video/x-msvideo",
+            meta["width"],
+            meta["height"],
+            meta["n_frames"],
+            meta["fps"],
+            meta["duration_s"],
+        )
+
+    return _sniff_metadata(
+        media,
+        _sniff,
+        [
+            ("mime", None),
+            ("width", "Int32"),
+            ("height", "Int32"),
+            ("n_frames", "Int32"),
+            ("fps", "Float64"),
+            ("duration_s", "Float64"),
+        ],
+        "media_id long, kind string, mime string, width int, height int, "
+        "n_frames int, fps double, duration_s double",
+        payload_col,
+    )
+
+
+def video_frame_stats(
+    media: DataFrame, every_n: int = 1, payload_col: str = "payload"
+) -> DataFrame:
+    """REAL video frame sampling + decode: every ``every_n``-th frame of an
+    MJPEG AVI is extracted from the container (kernel/avicodec.py) and its
+    JPEG pixels decoded (kernel/jpegcodec.py); one output row per sampled
+    frame with exact integer pixel sums. This is the real path the
+    ``frame_sample_stub`` plumbing models; inter-frame codecs (H.264 ...)
+    still need ffmpeg and stay behind the ``decoder=`` seam. Undecodable
+    payloads produce no rows (quarantine)."""
+    import numpy as np
+
+    from wpextract_spark.kernel.avicodec import avi_frames
+    from wpextract_spark.kernel.jpegcodec import decode_jpeg
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {
+                "media_id": [], "frame_idx": [], "width": [],
+                "height": [], "pixel_sum": [],
+            }
+            for media_id, payload in zip(batch["media_id"], batch[payload_col]):
+                frames = avi_frames(bytes(payload), every_n) if payload is not None else None
+                if not frames:
+                    continue
+                for i, fb in enumerate(frames):
+                    decoded = decode_jpeg(fb)
+                    if decoded is None:
+                        continue
+                    w, h, _c, data = decoded
+                    out["media_id"].append(media_id)
+                    out["frame_idx"].append(i * every_n)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["pixel_sum"].append(
+                        int(np.frombuffer(data, np.uint8).sum(dtype=np.int64))
+                    )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        _stats,
+        "media_id long, frame_idx int, width int, height int, pixel_sum long",
+    )
+
+
+def gradient_video_build_udf():
+    """doc_id -> deterministic MJPEG-AVI payload (sources/videogen.py) whose
+    sampled-frame pixel sums are SQL-restatable — the test/bench inverse of
+    :func:`video_frame_stats`."""
+    from wpextract_spark.sources.videogen import build_gradient_video
+
+    @F.pandas_udf("binary")
+    def _build(ids: pd.Series) -> pd.Series:
+        return pd.Series(
+            [build_gradient_video(int(i))[3] for i in ids], dtype="object"
         )
 
     return _build

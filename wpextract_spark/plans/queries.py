@@ -1850,6 +1850,53 @@ FROM px
 """
 
 
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling + decode, oracle-checked: synthesize a
+    deterministic MJPEG AVI per document (sources/videogen.py — a complete
+    RIFF container of block-gradient baseline JPEGs), walk the container's
+    movi chunks (kernel/avicodec.py), sample every 2nd frame, and decode
+    each frame's pixels (kernel/jpegcodec.py). The oracle restates the
+    per-frame block arithmetic ((base + 11*f + r//8 + c//8) % 256) over the
+    sampled frame indices."""
+    from wpextract_spark.operators.multimodal import (
+        gradient_video_build_udf,
+        video_frame_stats,
+    )
+
+    media = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        gradient_video_build_udf()(F.col("doc_id")).alias("payload"),
+    )
+    return video_frame_stats(media, every_n=2)
+
+
+ORACLE_VIDEO_FRAMES = """
+WITH d AS (
+  SELECT doc_id,
+         16 + doc_id % 48 AS w,
+         16 + (doc_id * 7) % 48 AS h,
+         2 + doc_id % 6 AS n_frames,
+         (doc_id * 37) % 256 AS base
+  FROM documents),
+f AS (  -- every 2nd frame: indices 0, 2, 4 ... < n_frames
+  SELECT d.*, fr.v AS frame_idx
+  FROM d JOIN range(8) fr(v) ON fr.v % 2 = 0 AND fr.v < d.n_frames),
+px AS (
+  SELECT f.doc_id, f.frame_idx, f.w, f.h,
+         CAST(sum(
+           ((f.base + f.frame_idx * 11 + br.v + bc.v) % 256)
+           * least(8, f.h - br.v * 8) * least(8, f.w - bc.v * 8)
+         ) AS BIGINT) AS pixel_sum
+  FROM f
+  JOIN range(8) br(v) ON br.v * 8 < f.h
+  JOIN range(8) bc(v) ON bc.v * 8 < f.w
+  GROUP BY 1, 2, 3, 4)
+SELECT doc_id AS media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height, pixel_sum
+FROM px
+"""
+
+
 def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real audio-metadata decode: synthesize a deterministic PCM WAV per
     document, sniff sample rate / channels / samples / duration from the
@@ -2559,6 +2606,7 @@ QUERIES = {
     # the tail (they are also pinned by the pytest gate / byte-parity e2e).
     "q_jpeg_pixels": q_jpeg_pixels,  # new in round 4 — needs a driver row
     "q_bpe_encode": q_bpe_encode,  # new in round 4 — needs a driver row
+    "q_video_frames": q_video_frames,  # new in round 4 — needs a driver row
     "q_line_dedup": q_line_dedup,
     "q_pii_scrub": q_pii_scrub,
     "q_c4_filter": q_c4_filter,
@@ -2678,6 +2726,7 @@ ORACLES = {
     "q_png_pixels": ORACLE_PNG_PIXELS,
     "q_jpeg_pixels": ORACLE_JPEG_PIXELS,
     "q_bpe_encode": _oracle_bpe_encode(),
+    "q_video_frames": ORACLE_VIDEO_FRAMES,
     "q_audio_meta": ORACLE_AUDIO_META,
     "q_frame_sample": ORACLE_FRAME_SAMPLE,
     "q_pdf_roundtrip": ORACLE_PDF_ROUNDTRIP,
