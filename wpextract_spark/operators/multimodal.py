@@ -217,6 +217,30 @@ def audio_metadata(media: DataFrame, payload_col: str = "payload") -> DataFrame:
     )
 
 
+def audio_pcm_stats(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """REAL PCM sample decode for WAV payloads (kernel/audiocodec.py): RIFF
+    chunk walk + frombuffer over the ``data`` chunk, no codec library. Emits
+    exact-integer per-clip sample statistics (sum, energy, peak) so results
+    cross engines with no float ambiguity — the audio analogue of
+    :func:`png_pixel_stats`. Undecodable / compressed / foreign payloads
+    yield nulls (quarantine contract)."""
+    from wpextract_spark.kernel.audiocodec import pcm_stats
+
+    return _sniff_metadata(
+        media,
+        pcm_stats,
+        [
+            ("n_samples", "Int64"),
+            ("sum_samples", "Int64"),
+            ("sum_squares", "Int64"),
+            ("peak_abs", "Int32"),
+        ],
+        "media_id long, kind string, n_samples long, sum_samples long, "
+        "sum_squares long, peak_abs int",
+        payload_col,
+    )
+
+
 def png_pixel_stats(media: DataFrame, payload_col: str = "payload") -> DataFrame:
     """REAL pixel decode for PNG payloads (kernel/pngcodec.py): zlib IDAT
     inflate + per-row unfilter, no codec library. Emits per-image pixel

@@ -1923,6 +1923,42 @@ FROM documents
 """
 
 
+def q_audio_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PCM sample decode, oracle-checked: synthesize a deterministic
+    16-bit mono PCM WAV per document (sources/audiogen.py — sample i is
+    ``((i*257) % 16384) - 8192``), decode the data chunk's frames back out
+    (kernel/audiocodec.py) and emit exact integer sample statistics (sum,
+    energy, peak). The oracle restates the generator arithmetic over a
+    range() join, so a decoder bug anywhere in the RIFF walk or the frame
+    slicing breaks the hash — completes the audio half of the multimodal
+    family (images went real in rounds 3-4)."""
+    from wpextract_spark.operators.multimodal import audio_build_udf, audio_pcm_stats
+
+    media = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        audio_build_udf()(F.col("doc_id")).alias("payload"),
+    )
+    return audio_pcm_stats(media)
+
+
+ORACLE_AUDIO_PCM = """
+WITH d AS (
+  SELECT doc_id, 1000 + (doc_id * 37) % 4000 AS n FROM documents),
+s AS (
+  SELECT d.doc_id, d.n,
+         CAST(sum((i.v * 257) % 16384 - 8192) AS BIGINT) AS sum_samples,
+         CAST(sum(((i.v * 257) % 16384 - 8192)
+                  * ((i.v * 257) % 16384 - 8192)) AS BIGINT) AS sum_squares,
+         CAST(max(abs((i.v * 257) % 16384 - 8192)) AS INTEGER) AS peak_abs
+  FROM d JOIN range(4999) i(v) ON i.v < d.n
+  GROUP BY d.doc_id, d.n)
+SELECT doc_id AS media_id, 'audio' AS kind, CAST(n AS BIGINT) AS n_samples,
+       sum_samples, sum_squares, peak_abs
+FROM s
+"""
+
+
 def q_pages_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: full fused extraction over the deterministic synthetic pages
     table. The oracle is the page builder's own statement of intent: synth
@@ -2607,6 +2643,7 @@ QUERIES = {
     "q_jpeg_pixels": q_jpeg_pixels,  # new in round 4 — needs a driver row
     "q_bpe_encode": q_bpe_encode,  # new in round 4 — needs a driver row
     "q_video_frames": q_video_frames,  # new in round 4 — needs a driver row
+    "q_audio_pcm": q_audio_pcm,  # new in round 4 — needs a driver row
     "q_line_dedup": q_line_dedup,
     "q_pii_scrub": q_pii_scrub,
     "q_c4_filter": q_c4_filter,
@@ -2727,6 +2764,7 @@ ORACLES = {
     "q_jpeg_pixels": ORACLE_JPEG_PIXELS,
     "q_bpe_encode": _oracle_bpe_encode(),
     "q_video_frames": ORACLE_VIDEO_FRAMES,
+    "q_audio_pcm": ORACLE_AUDIO_PCM,
     "q_audio_meta": ORACLE_AUDIO_META,
     "q_frame_sample": ORACLE_FRAME_SAMPLE,
     "q_pdf_roundtrip": ORACLE_PDF_ROUNDTRIP,
