@@ -648,6 +648,36 @@ GROUP BY doc_id
 """
 
 
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality signal: bigram add-alpha model trained on the
+    corpus itself, each document scored by the perplexity the model assigns
+    it (operators/lmscore.py). The oracle restates the exact probability
+    expression with DuckDB's zipping parallel-unnest bigrams."""
+    from wpextract_spark.operators.lmscore import lm_perplexity
+
+    return lm_perplexity(_t(spark, sf_dir, "documents"), alpha=0.1)
+
+
+ORACLE_LM_PERPLEXITY = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '{WS_SQL}') AS w
+  FROM documents WHERE text IS NOT NULL),
+bi AS (
+  SELECT doc_id, unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2
+  FROM toks WHERE len(w) >= 2),
+c12 AS (SELECT w1, w2, count(*) AS c FROM bi GROUP BY 1, 2),
+ctx AS (SELECT w1, sum(c) AS c1 FROM c12 GROUP BY 1),
+v AS (SELECT CAST(count(DISTINCT u.t) AS DOUBLE) AS vs
+      FROM (SELECT unnest(w) AS t FROM toks) u),
+nll AS (
+  SELECT b.doc_id, -ln((c.c + 0.1) / (x.c1 + 0.1 * v.vs)) AS nll
+  FROM bi b JOIN c12 c USING (w1, w2) JOIN ctx x USING (w1) CROSS JOIN v)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(nll), 6) AS avg_nll, round(exp(avg(nll)), 6) AS ppl
+FROM nll GROUP BY doc_id
+"""
+
+
 def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram collocations scored by PMI
     (operators/textstats.py:collocations)."""
@@ -2644,6 +2674,7 @@ QUERIES = {
     "q_bpe_encode": q_bpe_encode,  # new in round 4 — needs a driver row
     "q_video_frames": q_video_frames,  # new in round 4 — needs a driver row
     "q_audio_pcm": q_audio_pcm,  # new in round 4 — needs a driver row
+    "q_lm_perplexity": q_lm_perplexity,  # new in round 4 — needs a driver row
     "q_line_dedup": q_line_dedup,
     "q_pii_scrub": q_pii_scrub,
     "q_c4_filter": q_c4_filter,
@@ -2765,6 +2796,7 @@ ORACLES = {
     "q_bpe_encode": _oracle_bpe_encode(),
     "q_video_frames": ORACLE_VIDEO_FRAMES,
     "q_audio_pcm": ORACLE_AUDIO_PCM,
+    "q_lm_perplexity": ORACLE_LM_PERPLEXITY,
     "q_audio_meta": ORACLE_AUDIO_META,
     "q_frame_sample": ORACLE_FRAME_SAMPLE,
     "q_pdf_roundtrip": ORACLE_PDF_ROUNDTRIP,
