@@ -314,3 +314,85 @@ def embedding_near_dup_pairs(
         .where(F.col("cos_sim") >= threshold)
         .distinct()
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    n_lists: int = 8,
+    n_iter: int = 2,
+    threshold: float = 0.9,
+    max_cluster: int | None = 500,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023, arXiv:2303.09540): semantic
+    deduplication by clustering the embedding space and pruning
+    near-identical neighbors inside each cluster.
+
+    Pipeline: (1) deterministic distributed Lloyd's k-means
+    (:func:`kmeans_centroids` — only k*dim averaged cells ever reach the
+    driver), (2) assign every vector to its best centroid by cosine,
+    (3) rank cluster members by closeness to their centroid (rounded to
+    6dp, id tiebreak, so the rank order is engine-portable), (4) inside
+    each cluster mark as duplicate any member whose cosine to a
+    HIGHER-RANKED member is >= ``threshold`` (first-wins keep policy, same
+    convention as the crawl/registry dedups). Output:
+    (id, cluster_id, cos_c, is_kept).
+
+    Scale shape: the quadratic verify never crosses a cluster boundary —
+    the self-join shuffles on cluster id only, and ``max_cluster`` bounds
+    the worst case exactly like the LSH mega-bucket caps (overflow members
+    rank > max_cluster are kept unverified rather than joined; at sane k
+    the cap only trips on degenerate template-mass clusters). At 100 TB
+    the right k grows with N (SemDeDup used 50k clusters for LAION) — k
+    only affects the driver through k*dim floats.
+    """
+    cents = kmeans_centroids(
+        embeddings, n_lists=n_lists, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+    )
+    vec = F.col(vec_col).cast("array<double>")
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    cosine(vec, F.array(*[F.lit(v) for v in c])).alias("s"),
+                    F.lit(-cid).alias("nc"),
+                )
+                for cid, c in cents
+            ]
+        )
+    )
+    assigned = embeddings.select(
+        F.col(id_col),
+        vec.alias("v"),
+        (-best["nc"]).alias("cluster_id"),
+        F.round(best["s"], 6).alias("cos_c"),
+    )
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(
+        Window.partitionBy("cluster_id").orderBy(F.desc("cos_c"), F.asc(id_col))
+    )
+    ranked = assigned.withColumn("rk", rk)
+    verified = ranked if max_cluster is None else ranked.where(F.col("rk") <= max_cluster)
+    a = verified.alias("a")
+    b = verified.alias("b")
+    dups = (
+        a.join(
+            b,
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col("a.rk") < F.col("b.rk")),
+        )
+        .where(cosine(F.col("a.v"), F.col("b.v")) >= threshold)
+        .select(F.col(f"b.{id_col}").alias("_dup_id"))
+        .distinct()
+    )
+    return (
+        ranked.join(dups, ranked[id_col] == dups["_dup_id"], "left")
+        .select(
+            F.col(id_col),
+            F.col("cluster_id").cast("int").alias("cluster_id"),
+            "cos_c",
+            F.col("_dup_id").isNull().alias("is_kept"),
+        )
+    )

@@ -1162,10 +1162,11 @@ def q_similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, _SIM_QUERY, k=10, n_probe=3, centroids=cents)
 
 
-def _oracle_sim_ivf_kmeans(
-    dim: int = 64, n_lists: int = 8, n_iter: int = 2, n_probe: int = 3, k: int = 10
-) -> str:
-    # query = [1, 0, 0, ...]: q . v == v[1] and |q| == 1 (same as _SIM_QUERY).
+def _kmeans_cte(dim: int, n_lists: int, n_iter: int) -> tuple[list[str], str, dict]:
+    """Shared unrolled-CTE restatement of operators/similarity.py's
+    deterministic Lloyd's k-means: returns (CTE parts, final-centroid CTE
+    name, the cosine sub-expressions) for oracles that train the same
+    quantizer (q_similarity_ivf_kmeans, q_semantic_dedup)."""
     dot = f"list_sum([e.v[i+1] * c.cv[i+1] for i in range({dim})])"
     norm_e = "sqrt(list_sum([x * x for x in e.v]))"
     norm_c = "sqrt(list_sum([x * x for x in c.cv]))"
@@ -1195,7 +1196,16 @@ m{it} AS (
   GROUP BY p.cid)"""
         )
     final = f"c{n_iter}"
-    parts.append(
+    return parts, final, {"dot": dot, "norm_e": norm_e, "norm_c": norm_c}
+
+
+def _oracle_sim_ivf_kmeans(
+    dim: int = 64, n_lists: int = 8, n_iter: int = 2, n_probe: int = 3, k: int = 10
+) -> str:
+    # query = [1, 0, 0, ...]: q . v == v[1] and |q| == 1 (same as _SIM_QUERY).
+    parts, final, x = _kmeans_cte(dim, n_lists, n_iter)
+    dot, norm_e, norm_c = x["dot"], x["norm_e"], x["norm_c"]
+    parts = parts + [
         f"""assigned AS (
   SELECT vec_id, cid AS list_id FROM (
     SELECT e.vec_id, c.cid,
@@ -1207,7 +1217,7 @@ probe AS (
     SELECT cid, row_number() OVER (
       ORDER BY cv[1] / sqrt(list_sum([x * x for x in cv])) DESC, cid ASC) rn
     FROM {final}) WHERE rn <= {n_probe})"""
-    )
+    ]
     body = ",\n".join(parts)
     return f"""{body}
 SELECT e.vec_id, a.list_id,
@@ -1215,6 +1225,60 @@ SELECT e.vec_id, a.list_id,
 FROM e JOIN assigned a ON a.vec_id = e.vec_id
 WHERE a.list_id IN (SELECT cid FROM probe)
 ORDER BY cos_sim DESC, e.vec_id ASC LIMIT {k}
+"""
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table: k-means the embedding space
+    (same deterministic Lloyd's as q_similarity_ivf_kmeans), then inside
+    each cluster drop members whose cosine to a closer-to-centroid member
+    exceeds the threshold (operators/similarity.py:semantic_dedup). The
+    threshold suits the random synthetic vectors, as in
+    q_embedding_near_dups."""
+    from wpextract_spark.operators.similarity import semantic_dedup
+
+    return semantic_dedup(
+        _t(spark, sf_dir, "embeddings"),
+        n_lists=8,
+        n_iter=2,
+        threshold=0.3,
+        max_cluster=500,
+    )
+
+
+def _oracle_semantic_dedup(
+    dim: int = 64,
+    n_lists: int = 8,
+    n_iter: int = 2,
+    threshold: float = 0.3,
+    max_cluster: int = 500,
+) -> str:
+    parts, final, x = _kmeans_cte(dim, n_lists, n_iter)
+    dot, norm_e, norm_c = x["dot"], x["norm_e"], x["norm_c"]
+    pair_dot = f"list_sum([a.v[i+1] * b.v[i+1] for i in range({dim})])"
+    norm_a = "sqrt(list_sum([x * x for x in a.v]))"
+    norm_b = "sqrt(list_sum([x * x for x in b.v]))"
+    parts = parts + [
+        f"""assigned AS (
+  SELECT vec_id, v, cid, round(cos_raw, 6) AS cos_c FROM (
+    SELECT e.vec_id, e.v, c.cid, {dot} / ({norm_e} * {norm_c}) AS cos_raw,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {dot} / ({norm_e} * {norm_c}) DESC, c.cid ASC) rn
+    FROM e CROSS JOIN {final} c) WHERE rn = 1),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY cid ORDER BY cos_c DESC, vec_id ASC) rk
+  FROM assigned),
+verified AS (SELECT * FROM ranked WHERE rk <= {max_cluster}),
+dups AS (
+  SELECT DISTINCT b.vec_id
+  FROM verified a JOIN verified b ON a.cid = b.cid AND a.rk < b.rk
+  WHERE {pair_dot} / ({norm_a} * {norm_b}) >= {threshold})"""
+    ]
+    body = ",\n".join(parts)
+    return f"""{body}
+SELECT r.vec_id, CAST(r.cid AS INTEGER) AS cluster_id, r.cos_c,
+       d.vec_id IS NULL AS is_kept
+FROM ranked r LEFT JOIN dups d ON r.vec_id = d.vec_id
 """
 
 
@@ -2675,6 +2739,7 @@ QUERIES = {
     "q_video_frames": q_video_frames,  # new in round 4 — needs a driver row
     "q_audio_pcm": q_audio_pcm,  # new in round 4 — needs a driver row
     "q_lm_perplexity": q_lm_perplexity,  # new in round 4 — needs a driver row
+    "q_semantic_dedup": q_semantic_dedup,  # new in round 4 — needs a driver row
     "q_line_dedup": q_line_dedup,
     "q_pii_scrub": q_pii_scrub,
     "q_c4_filter": q_c4_filter,
@@ -2797,6 +2862,7 @@ ORACLES = {
     "q_video_frames": ORACLE_VIDEO_FRAMES,
     "q_audio_pcm": ORACLE_AUDIO_PCM,
     "q_lm_perplexity": ORACLE_LM_PERPLEXITY,
+    "q_semantic_dedup": _oracle_semantic_dedup(),
     "q_audio_meta": ORACLE_AUDIO_META,
     "q_frame_sample": ORACLE_FRAME_SAMPLE,
     "q_pdf_roundtrip": ORACLE_PDF_ROUNDTRIP,
