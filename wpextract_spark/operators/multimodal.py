@@ -307,6 +307,51 @@ def image_pixel_stats(media: DataFrame, payload_col: str = "payload") -> DataFra
     )
 
 
+def image_ahash_groups(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Perceptual image near-dup grouping: REAL decode (magic-dispatched
+    PNG/GIF/JPEG) -> 8x8 average-hash (kernel/imagehash.py) -> exact-hash
+    group sizes. Output: (media_id, kind, ahash, n_same).
+
+    Scale shape: the hash is computed row-locally inside one Arrow batch
+    stage; the only shuffle is the hash-keyed window (64-bit-entropy key,
+    uniformly distributed — no skew salt needed). Hamming-near pairs can be
+    layered on with the SimHash banding in operators/dedup.py; exact-hash
+    grouping is the common CDN-variant case. Undecodable payloads hash to
+    null and form no group (n_same counts only decodable twins)."""
+    from wpextract_spark.kernel.gifcodec import decode_gif
+    from wpextract_spark.kernel.imagehash import average_hash
+    from wpextract_spark.kernel.jpegcodec import decode_jpeg
+    from wpextract_spark.kernel.pngcodec import decode_png
+
+    def _hash(payload: bytes):
+        if payload[:2] == b"\xff\xd8":
+            decoded = decode_jpeg(payload)
+        else:
+            decoded = decode_png(payload)
+            if decoded is None:
+                decoded = decode_gif(payload)
+        if decoded is None:
+            return None
+        return (average_hash(*decoded),)
+
+    hashed = _sniff_metadata(
+        media,
+        _hash,
+        [("ahash", None)],
+        "media_id long, kind string, ahash string",
+        payload_col,
+    )
+    from pyspark.sql import Window
+
+    n_same = F.count("*").over(Window.partitionBy("ahash"))
+    return hashed.select(
+        "media_id",
+        "kind",
+        "ahash",
+        F.when(F.col("ahash").isNotNull(), n_same).cast("long").alias("n_same"),
+    )
+
+
 def png_resize(
     media: DataFrame, width: int, height: int, payload_col: str = "payload"
 ) -> DataFrame:

@@ -2017,6 +2017,49 @@ FROM documents
 """
 
 
+def q_image_ahash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup, oracle-checked end-to-end through the REAL
+    PNG decode: gradient PNG per document -> zlib inflate + unfilter ->
+    8x8 nearest-neighbor average-hash -> exact-hash group sizes
+    (operators/multimodal.py:image_ahash_groups). The oracle restates the
+    generator's pixel arithmetic, the nearest-neighbor sample grid, and the
+    integer mean-threshold bit rule."""
+    from wpextract_spark.operators.multimodal import (
+        gradient_image_build_udf,
+        image_ahash_groups,
+    )
+
+    media = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("png").alias("kind"),
+        gradient_image_build_udf()(F.col("doc_id")).alias("payload"),
+    )
+    return image_ahash_groups(media)
+
+
+ORACLE_IMAGE_AHASH = """
+WITH d AS (
+  SELECT doc_id,
+         16 + doc_id % 100 AS w,
+         16 + (doc_id * 7) % 100 AS h,
+         (doc_id * 37) % 256 AS base
+  FROM documents),
+cells AS (
+  SELECT d.doc_id, r.v AS r, c.v AS c,
+         (d.base + (r.v * d.h) // 8 + (c.v * d.w) // 8) % 256 AS val
+  FROM d, range(8) r(v), range(8) c(v)),
+tot AS (SELECT doc_id, sum(val) AS total FROM cells GROUP BY doc_id),
+bits AS (
+  SELECT c.doc_id,
+         string_agg(CASE WHEN 64 * c.val > t.total THEN '1' ELSE '0' END,
+                    '' ORDER BY c.r * 8 + c.c) AS ahash
+  FROM cells c JOIN tot t USING (doc_id) GROUP BY c.doc_id)
+SELECT doc_id AS media_id, 'png' AS kind, ahash,
+       CAST(count(*) OVER (PARTITION BY ahash) AS BIGINT) AS n_same
+FROM bits
+"""
+
+
 def q_audio_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PCM sample decode, oracle-checked: synthesize a deterministic
     16-bit mono PCM WAV per document (sources/audiogen.py — sample i is
@@ -2740,6 +2783,7 @@ QUERIES = {
     "q_audio_pcm": q_audio_pcm,  # new in round 4 — needs a driver row
     "q_lm_perplexity": q_lm_perplexity,  # new in round 4 — needs a driver row
     "q_semantic_dedup": q_semantic_dedup,  # new in round 4 — needs a driver row
+    "q_image_ahash_dups": q_image_ahash_dups,  # new in round 4 — needs a driver row
     "q_line_dedup": q_line_dedup,
     "q_pii_scrub": q_pii_scrub,
     "q_c4_filter": q_c4_filter,
@@ -2863,6 +2907,7 @@ ORACLES = {
     "q_audio_pcm": ORACLE_AUDIO_PCM,
     "q_lm_perplexity": ORACLE_LM_PERPLEXITY,
     "q_semantic_dedup": _oracle_semantic_dedup(),
+    "q_image_ahash_dups": ORACLE_IMAGE_AHASH,
     "q_audio_meta": ORACLE_AUDIO_META,
     "q_frame_sample": ORACLE_FRAME_SAMPLE,
     "q_pdf_roundtrip": ORACLE_PDF_ROUNDTRIP,
