@@ -396,3 +396,184 @@ def semantic_dedup(
             F.col("_dup_id").isNull().alias("is_kept"),
         )
     )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    query: list[float],
+    k: int = 10,
+    m: int = 8,
+    ks: int = 16,
+    n_iter: int = 2,
+    refine_k: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via product quantization (Jégou et al., TPAMI 2011)
+    with exact re-rank: the 100-TB memory-bound ANN path.
+
+    Train: the embedding space is split into ``m`` contiguous subspaces of
+    ``dim/m`` components; each gets its own ``ks``-codeword quantizer from
+    the same deterministic Lloyd's protocol as :func:`kmeans_centroids`,
+    trained JOINTLY across subspaces (:func:`pq_codebooks` — 1 + n_iter
+    driver actions total; only m*ks*dim/m rounded cells ever reach the
+    driver, exactly the codebook that must be broadcast anyway).
+
+    Encode+score in ONE narrow pass, all JVM expressions: per subspace the
+    row picks its L2-nearest codeword (ties -> smallest code id) and reads
+    that codeword's precomputed dot-with-query from the lookup table baked
+    into the plan as literals (classic ADC — the query never meets raw
+    subvectors). ``approx_cos`` divides by the row's TRUE norm (computed in
+    the same pass; at scale it would be a stored scalar column — 8 codes +
+    1 float per vector is the PQ compression point). The best ``refine_k``
+    by approximate score (TakeOrdered partial top-k, no global sort) are
+    exactly re-ranked; output (id, approx_cos, cos_sim) of the final k.
+
+    Scale shape: no shuffle except two top-k reduces; scan cost is
+    ks*dim multiply-adds per row (the PQ encode bound). Recall is governed
+    by refine_k — the standard IVF-PQ composition (route by
+    :func:`kmeans_centroids` lists first, then PQ-scan the probed lists)
+    falls out by conjoining this with :func:`ivf_topk`'s probe filter.
+    """
+    dim = len(query)
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    vec = F.col(vec_col).cast("array<double>")
+    codebooks = pq_codebooks(
+        embeddings, dim, m=m, ks=ks, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+    )
+
+    qnorm = math.sqrt(sum(x * x for x in query))
+    # One SQL string for the whole ADC score (see _dot_lit): per subspace an
+    # array_min over named_struct('d' l2, 'c' code, 'w' lut) picks the
+    # L2-nearest codeword (ties -> smallest code) and reads its
+    # dot-with-query literal.
+    terms = []
+    for s, cents in enumerate(codebooks):
+        off = s * dsub
+        qs = query[off : off + dsub]
+        cands = ", ".join(
+            f"named_struct('d', {_l2_lit('v', c, off)}, 'c', {cid}, "
+            f"'w', {float(sum(a * b for a, b in zip(qs, c)))!r})"
+            for cid, c in cents
+        )
+        terms.append(f"array_min(array({cands})).w")
+    approx_sql = (
+        f"round(({' + '.join(terms)}) / ({qnorm!r} * sqrt({_sq_norm_lit('v', dim)})), 6)"
+    )
+
+    q = F.array(*[F.lit(float(v)) for v in query])
+    scored = embeddings.select(F.col(id_col), vec.alias("v")).select(
+        F.col(id_col),
+        F.col("v"),
+        F.expr(approx_sql).alias("approx_cos"),
+    )
+    cands = scored.orderBy(F.desc("approx_cos"), F.asc(id_col)).limit(refine_k)
+    return (
+        cands.select(
+            F.col(id_col),
+            "approx_cos",
+            F.round(cosine(F.col("v"), q), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def _dot_lit(vec: str, coeffs: list[float], off: int = 0) -> str:
+    """SQL text for the explicit left-associated ``sum_i vec[i]*coeffs[i]``
+    — the same float-operation order as an ``aggregate`` fold and DuckDB's
+    ``list_sum``, but built as ONE string so PQ's hundreds of per-codeword
+    expressions cost one ``F.expr`` parse instead of thousands of py4j
+    Column calls. 0-based SQL array indexing; optional ``off`` reads the
+    subvector window of a full embedding in place."""
+    # literals are parenthesized: a bare negative after '-' would form
+    # '--', which opens a SQL line comment and truncates the expression
+    return "+".join(f"{vec}[{off + i}]*({float(c)!r})" for i, c in enumerate(coeffs))
+
+
+def _sq_norm_lit(vec: str, dim: int, off: int = 0) -> str:
+    """SQL text ``sum_i vec[off+i]^2`` (see :func:`_dot_lit`)."""
+    return "+".join(f"{vec}[{off + i}]*{vec}[{off + i}]" for i in range(dim))
+
+
+def _l2_lit(vec: str, coeffs: list[float], off: int = 0) -> str:
+    """SQL text ``sum_i (vec[off+i] - coeffs[i])^2`` (see :func:`_dot_lit`)."""
+    return "+".join(
+        f"({vec}[{off + i}]-({float(c)!r}))*({vec}[{off + i}]-({float(c)!r}))"
+        for i, c in enumerate(coeffs)
+    )
+
+
+def pq_codebooks(
+    embeddings: DataFrame,
+    dim: int,
+    m: int = 8,
+    ks: int = 16,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> list[list[tuple[int, list[float]]]]:
+    """All ``m`` subspace codebooks for PQ, trained JOINTLY: one lineage
+    per Lloyd's iteration instead of ``m`` serial :func:`kmeans_centroids`
+    runs.
+
+    Produces bit-identical codebooks to the serial per-subspace path (same
+    init — subvectors of the ``ks`` smallest ids; same cosine assignment
+    with smallest-cid tiebreak; same 6dp-rounded means), so the SQL oracle
+    that restates per-subspace k-means needs no change. What changes is the
+    job count: the subvector explode is row-local, each iteration is ONE
+    shuffle (groupBy (subspace, cid, pos) with map-side partial agg) and
+    ONE m*ks*dim/m-cell collect — 1 + n_iter driver actions total versus
+    m * (1 + n_iter). At 100 TB that is the difference between 3 and 24
+    full corpus passes.
+    """
+    dsub = dim // m
+    vec = F.col(vec_col).cast("array<double>")
+    subs = embeddings.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(*[F.slice(vec, s * dsub + 1, dsub) for s in range(m)])
+        ).alias("s", "v"),
+    )
+    init = subs.where(F.col(id_col) < ks).collect()
+    books: list[dict[int, list[float]]] = [dict() for _ in range(m)]
+    for r in init:
+        books[int(r["s"])][int(r[id_col])] = [float(x) for x in r["v"]]
+    if not all(books):
+        raise ValueError("no centroid rows with id < ks")
+
+    for _ in range(n_iter):
+        # One F.expr string per iteration (not thousands of py4j Column
+        # calls); the arithmetic keeps cosine()'s fold order, so the
+        # assignment values (and the SQL oracle) are bit-identical.
+        vnorm = f"sqrt({_sq_norm_lit('v', dsub)})"
+        branches = []
+        for s in range(m):
+            cands = ", ".join(
+                f"named_struct('sc', ({_dot_lit('v', c)})"
+                f"/(({vnorm})*{math.sqrt(sum(x * x for x in c))!r}), 'nc', {-cid})"
+                for cid, c in sorted(books[s].items())
+            )
+            branches.append(f"WHEN s = {s} THEN -array_max(array({cands})).nc")
+        assign = F.expr("CASE " + " ".join(branches) + " END")
+        cells = (
+            subs.select(F.col("s"), assign.alias("cid"), F.col("v").alias("vv"))
+            .select("s", "cid", F.posexplode("vv").alias("pos", "val"))
+            .groupBy("s", "cid", "pos")
+            .agg(F.round(F.avg("val"), round_digits).alias("mval"))
+            .collect()
+        )
+        means: dict[tuple[int, int], dict[int, float]] = {}
+        for row in cells:
+            means.setdefault((int(row["s"]), int(row["cid"])), {})[int(row["pos"])] = float(
+                row["mval"]
+            )
+        for s in range(m):
+            for cid, old in books[s].items():
+                cell = means.get((s, cid))
+                if cell:
+                    books[s][cid] = [cell[p] for p in range(len(old))]
+    return [sorted(books[s].items()) for s in range(m)]

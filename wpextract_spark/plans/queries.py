@@ -1162,41 +1162,58 @@ def q_similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, _SIM_QUERY, k=10, n_probe=3, centroids=cents)
 
 
-def _kmeans_cte(dim: int, n_lists: int, n_iter: int) -> tuple[list[str], str, dict]:
+def _kmeans_cte(
+    dim: int,
+    n_lists: int,
+    n_iter: int,
+    prefix: str = "",
+    slice_off: int | None = None,
+    lead_with: bool = True,
+) -> tuple[list[str], str, dict]:
     """Shared unrolled-CTE restatement of operators/similarity.py's
     deterministic Lloyd's k-means: returns (CTE parts, final-centroid CTE
     name, the cosine sub-expressions) for oracles that train the same
-    quantizer (q_similarity_ivf_kmeans, q_semantic_dedup)."""
+    quantizer (q_similarity_ivf_kmeans, q_semantic_dedup, q_similarity_pq).
+
+    ``prefix`` namespaces every CTE so several quantizers compose in one
+    statement (PQ trains one per subspace); ``slice_off`` trains on the
+    1-based ``[off+1 : off+dim]`` subvector instead of the full embedding;
+    ``lead_with=False`` drops the ``WITH`` for non-first builders."""
+    en = f"{prefix}e"
     dot = f"list_sum([e.v[i+1] * c.cv[i+1] for i in range({dim})])"
     norm_e = "sqrt(list_sum([x * x for x in e.v]))"
     norm_c = "sqrt(list_sum([x * x for x in c.cv]))"
+    vexpr = "[CAST(x AS DOUBLE) for x in embedding]"
+    if slice_off is not None:
+        vexpr = f"({vexpr})[{slice_off + 1}:{slice_off + dim}]"
+    head = "WITH " if lead_with else ""
     parts = [
-        f"""WITH e AS (
-  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
-c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {n_lists})"""
+        f"""{head}{en} AS (
+  SELECT vec_id, {vexpr} AS v FROM embeddings),
+{prefix}c0 AS (SELECT vec_id AS cid, v AS cv FROM {en} e WHERE vec_id < {n_lists})"""
     ]
     for it in range(n_iter):
-        prev, nxt = f"c{it}", f"c{it + 1}"
+        prev, nxt = f"{prefix}c{it}", f"{prefix}c{it + 1}"
         parts.append(
-            f"""a{it} AS (
+            f"""{prefix}a{it} AS (
   SELECT vec_id, cid FROM (
     SELECT e.vec_id, c.cid,
            row_number() OVER (PARTITION BY e.vec_id
              ORDER BY {dot} / ({norm_e} * {norm_c}) DESC, c.cid ASC) rn
-    FROM e CROSS JOIN {prev} c) WHERE rn = 1),
-m{it} AS (
+    FROM {en} e CROSS JOIN {prev} c) WHERE rn = 1),
+{prefix}m{it} AS (
   SELECT a.cid, t.i AS pos, round(avg(e.v[t.i + 1]), 6) AS m
-  FROM a{it} a JOIN e ON a.vec_id = e.vec_id CROSS JOIN range({dim}) t(i)
+  FROM {prefix}a{it} a JOIN {en} e ON a.vec_id = e.vec_id CROSS JOIN range({dim}) t(i)
   GROUP BY a.cid, t.i),
 {nxt} AS (
   SELECT p.cid,
          CASE WHEN count(m.m) = 0 THEN any_value(p.cv)
               ELSE list(m.m ORDER BY m.pos) END AS cv
-  FROM {prev} p LEFT JOIN m{it} m ON m.cid = p.cid
+  FROM {prev} p LEFT JOIN {prefix}m{it} m ON m.cid = p.cid
   GROUP BY p.cid)"""
         )
-    final = f"c{n_iter}"
-    return parts, final, {"dot": dot, "norm_e": norm_e, "norm_c": norm_c}
+    final = f"{prefix}c{n_iter}"
+    return parts, final, {"dot": dot, "norm_e": norm_e, "norm_c": norm_c, "e": en}
 
 
 def _oracle_sim_ivf_kmeans(
@@ -1225,6 +1242,80 @@ SELECT e.vec_id, a.list_id,
 FROM e JOIN assigned a ON a.vec_id = e.vec_id
 WHERE a.list_id IN (SELECT cid FROM probe)
 ORDER BY cos_sim DESC, e.vec_id ASC LIMIT {k}
+"""
+
+
+def q_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with exact re-rank
+    (operators/similarity.py:pq_topk): 8 subspace codebooks from the shared
+    deterministic Lloyd's, ADC scoring against plan-literal lookup tables,
+    TakeOrdered refine + re-rank. The query vector is hyperplane(99, 64) —
+    nonzero in every component so all 8 subspaces contribute to the score."""
+    from wpextract_spark.operators.similarity import hyperplane, pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return pq_topk(emb, hyperplane(99, 64), k=10, m=8, ks=16, n_iter=2, refine_k=50)
+
+
+def _oracle_similarity_pq(
+    dim: int = 64,
+    m: int = 8,
+    ks: int = 16,
+    n_iter: int = 2,
+    refine_k: int = 50,
+    k: int = 10,
+) -> str:
+    import math as _math
+
+    from wpextract_spark.operators.similarity import hyperplane
+
+    query = hyperplane(99, dim)
+    dsub = dim // m
+    qnorm = _math.sqrt(sum(x * x for x in query))
+    parts: list[str] = []
+    picks: list[str] = []
+    for s in range(m):
+        p, final, x = _kmeans_cte(
+            dsub, ks, n_iter, prefix=f"s{s}", slice_off=s * dsub, lead_with=(s == 0)
+        )
+        parts += p
+        qs = query[s * dsub : (s + 1) * dsub]
+        qs_lit = "[" + ", ".join(repr(v) for v in qs) + "]"
+        l2 = (
+            f"list_sum([(e.v[i+1] - c.cv[i+1]) * (e.v[i+1] - c.cv[i+1]) "
+            f"for i in range({dsub})])"
+        )
+        parts.append(
+            f"""s{s}pick AS (
+  SELECT vec_id, w FROM (
+    SELECT e.vec_id,
+           list_sum([({qs_lit})[i+1] * c.cv[i+1] for i in range({dsub})]) AS w,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {l2} ASC, c.cid ASC) rn
+    FROM {x["e"]} e CROSS JOIN {final} c) WHERE rn = 1)"""
+        )
+        picks.append(f"s{s}pick")
+    q_lit = "[" + ", ".join(repr(v) for v in query) + "]"
+    wsum = " + ".join(f"{p}.w" for p in picks)
+    joins = "\n  ".join(f"JOIN {p} ON {p}.vec_id = f.vec_id" for p in picks)
+    parts.append(
+        f"""pqfull AS (
+  SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings),
+pqapprox AS (
+  SELECT f.vec_id, f.v,
+         round(({wsum}) / ({qnorm!r} * sqrt(list_sum([x * x for x in f.v]))), 6)
+           AS approx_cos
+  FROM pqfull f
+  {joins}),
+pqcand AS (
+  SELECT * FROM pqapprox ORDER BY approx_cos DESC, vec_id ASC LIMIT {refine_k})"""
+    )
+    body = ",\n".join(parts)
+    return f"""{body}
+SELECT vec_id, approx_cos,
+       round(list_sum([v[i+1] * ({q_lit})[i+1] for i in range({dim})])
+             / ({qnorm!r} * sqrt(list_sum([x * x for x in v]))), 6) AS cos_sim
+FROM pqcand ORDER BY cos_sim DESC, vec_id ASC LIMIT {k}
 """
 
 
@@ -2784,6 +2875,7 @@ QUERIES = {
     "q_lm_perplexity": q_lm_perplexity,  # new in round 4 — needs a driver row
     "q_semantic_dedup": q_semantic_dedup,  # new in round 4 — needs a driver row
     "q_image_ahash_dups": q_image_ahash_dups,  # new in round 4 — needs a driver row
+    "q_similarity_pq": q_similarity_pq,  # new in round 4 — needs a driver row
     "q_line_dedup": q_line_dedup,
     "q_pii_scrub": q_pii_scrub,
     "q_c4_filter": q_c4_filter,
@@ -2908,6 +3000,7 @@ ORACLES = {
     "q_lm_perplexity": ORACLE_LM_PERPLEXITY,
     "q_semantic_dedup": _oracle_semantic_dedup(),
     "q_image_ahash_dups": ORACLE_IMAGE_AHASH,
+    "q_similarity_pq": _oracle_similarity_pq(),
     "q_audio_meta": ORACLE_AUDIO_META,
     "q_frame_sample": ORACLE_FRAME_SAMPLE,
     "q_pdf_roundtrip": ORACLE_PDF_ROUNDTRIP,
