@@ -82,7 +82,9 @@ def main() -> None:
     # best-paired round is the verdict — co-tenant load only ever *depresses*
     # a measurement, so the least-disturbed round is the closest estimate of
     # the quiet-machine ratio. All rounds are reported.
-    ROUNDS = 3
+    import os
+
+    ROUNDS = int(os.environ.get("SCALING_ROUNDS", "3"))
     spark_rounds: list[dict[int, dict]] = []
     hw_rounds: list[dict[int, float]] = []
     with tempfile.TemporaryDirectory(prefix="scaling_pages_") as tmp:
@@ -121,8 +123,25 @@ def main() -> None:
     effs_8_32 = paired_effs(8, 32, spark_rounds)
     hw_effs_2_8 = paired_effs(2, 8, hw_rounds)
     hw_effs_8_32 = paired_effs(8, 32, hw_rounds)
-    eff_2_8, eff_8_32 = max(effs_2_8), max(effs_8_32)
-    hw_2_8, hw_8_32 = max(hw_effs_2_8), max(hw_effs_8_32)
+
+    def least_disturbed(lo: int, hi: int, rounds: list[dict]) -> int:
+        """Index of the round whose WORST level (relative to that level's
+        best across rounds) is highest — the round the co-tenant disturbed
+        least. A plain max-efficiency pick can be inflated above the true
+        ratio when load depresses the DENOMINATOR level of a round; this
+        selector is immune to that (it requires both levels healthy)."""
+        best = {c: max(rate(r[c]) for r in rounds) for c in (lo, hi)}
+        return max(
+            range(len(rounds)),
+            key=lambda i: min(rate(rounds[i][c]) / best[c] for c in (lo, hi)),
+        )
+
+    pick_2_8 = least_disturbed(2, 8, spark_rounds)
+    pick_8_32 = least_disturbed(8, 32, spark_rounds)
+    eff_2_8, eff_8_32 = effs_2_8[pick_2_8], effs_8_32[pick_8_32]
+    med_2_8 = sorted(effs_2_8)[len(effs_2_8) // 2]
+    hw_2_8 = hw_effs_2_8[least_disturbed(2, 8, hw_rounds)]
+    hw_8_32 = hw_effs_8_32[least_disturbed(8, 32, hw_rounds)]
     verdict = "PASS" if eff_2_8 >= 0.8 else "FAIL"
 
     # Per-level best across rounds (headline throughput under the best
@@ -161,9 +180,12 @@ control below shows the same swings, so absolute docs/sec is noisy. The
 efficiency criterion is therefore evaluated *paired*: each of {ROUNDS}
 rounds measures all levels back-to-back, efficiency is computed within each
 round (numerator and denominator see nearly the same machine), and the
-verdict is the best-paired round — external load only ever depresses a
-measurement, so the least-disturbed round is the closest estimate of the
-quiet-machine ratio. Every round is reported.
+verdict comes from the LEAST-DISTURBED round — the round whose worse level
+(relative to that level's best across rounds) is highest, i.e. both its
+levels were healthy. (A plain max-efficiency pick can exceed the true ratio
+when load happens to depress a round's low-parallelism leg; this selector
+cannot be inflated that way.) Every round is reported, with the median
+alongside.
 
 | round | local[2] docs/s | local[8] docs/s | local[32] docs/s | eff 2->8 | eff 8->32 |
 |---|---|---|---|---|---|
@@ -178,13 +200,14 @@ hosts of a real cluster):
 |---|---|---|---|---|
 {rows}
 
-| pair | Spark efficiency (best paired round) | hw-control efficiency | Spark / hw |
+| pair | Spark efficiency (least-disturbed round) | hw-control efficiency | Spark / hw |
 |---|---|---|---|
 | N=2 -> 4N=8 | **{eff_2_8:.3f}** | {hw_2_8:.3f} | {eff_2_8 / hw_2_8:.2f} |
 | N=8 -> 4N=32 | {eff_8_32:.3f} | {hw_8_32:.3f} | {eff_8_32 / hw_8_32:.2f} |
 
 **Criterion (N=2 -> 4N=8, the hardware-clean region): efficiency
-{eff_2_8:.3f} -> {verdict}** (threshold 0.8).
+{eff_2_8:.3f} (round {pick_2_8 + 1} of {ROUNDS}; median across rounds
+{med_2_8:.3f}) -> {verdict}** (threshold 0.8).
 
 At 8 -> 32 cores the box's own no-Spark ceiling was {hw_8_32:.2f}
 (32-core turbo below 8-core turbo, one shared memory bus); Spark reached
@@ -218,6 +241,8 @@ Generated {datetime.now(timezone.utc).isoformat(timespec="seconds")} by
                 "effs_8_32": effs_8_32,
                 "eff_2_8": eff_2_8,
                 "eff_8_32": eff_8_32,
+                "eff_2_8_median": med_2_8,
+                "picked_round_2_8": pick_2_8 + 1,
                 "verdict": verdict,
             }
         )
