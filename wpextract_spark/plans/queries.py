@@ -2187,6 +2187,45 @@ FROM s
 """
 
 
+def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC ingestion, oracle-checked end to end: each document is framed
+    as a deterministic single-record Common-Crawl-style .warc.gz capture
+    (sources/warcgen.py — per-record gzip members, HTTP response envelope,
+    Content-Length framing), then parsed back with the real codec
+    (kernel/warc.py) and reduced to exact envelope + payload statistics.
+    The oracle restates the generator's construction over the documents
+    table, so a bug anywhere in the gzip member split, WARC header parse,
+    Content-Length body slice, or HTTP payload split breaks the hash.
+    The distributed file path (binaryFile scan -> mapInPandas, cc-pyspark's
+    published layout) is covered by tests/test_warc.py round-trips."""
+    from wpextract_spark.sources.warc import warc_build_udf, warc_payload_stats
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        warc_build_udf()(F.col("doc_id"), F.col("source"), F.col("text")).alias(
+            "payload"
+        ),
+    )
+    return warc_payload_stats(docs)
+
+
+ORACLE_WARC_EXTRACT = """
+SELECT doc_id,
+       CAST(2 AS INTEGER) AS n_records,
+       'https://' || source || '.example.org/doc/' || CAST(doc_id AS VARCHAR)
+           AS target_uri,
+       '2024-' || lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0')
+           || '-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+           || 'T' || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0')
+           || ':00:00Z' AS warc_date,
+       CAST(200 AS INTEGER) AS http_status,
+       'text/html' AS mime,
+       CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS payload_len,
+       md5(text) AS payload_md5
+FROM documents
+"""
+
+
 def q_pages_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: full fused extraction over the deterministic synthetic pages
     table. The oracle is the page builder's own statement of intent: synth
@@ -2868,6 +2907,7 @@ QUERIES = {
     # Queries with the least driver-green history are listed first so every
     # registry entry accumulates hard-signal rows; the 3x-green basics sit at
     # the tail (they are also pinned by the pytest gate / byte-parity e2e).
+    "q_warc_extract": q_warc_extract,  # new in round 4 — needs a driver row
     "q_jpeg_pixels": q_jpeg_pixels,  # new in round 4 — needs a driver row
     "q_bpe_encode": q_bpe_encode,  # new in round 4 — needs a driver row
     "q_video_frames": q_video_frames,  # new in round 4 — needs a driver row
@@ -2993,6 +3033,7 @@ ORACLES = {
     "q_multimodal_features": ORACLE_MULTIMODAL,
     "q_image_meta": ORACLE_IMAGE_META,
     "q_png_pixels": ORACLE_PNG_PIXELS,
+    "q_warc_extract": ORACLE_WARC_EXTRACT,
     "q_jpeg_pixels": ORACLE_JPEG_PIXELS,
     "q_bpe_encode": _oracle_bpe_encode(),
     "q_video_frames": ORACLE_VIDEO_FRAMES,
