@@ -67,3 +67,35 @@ def test_dim_must_divide(spark):
     emb = _emb(spark, np.ones((8, 6)))
     with pytest.raises(ValueError, match="not divisible"):
         pq_topk(emb, [1.0] * 6, m=4)
+
+def test_ivfpq_routes_then_scans(spark):
+    """IVF-PQ: results come only from probed lists, re-rank scores are the
+    exact brute-force cosines, and the top-1 survives the composition."""
+    from wpextract_spark.operators.similarity import ivf_topk, ivfpq_topk
+
+    vecs = np.random.RandomState(13).randn(240, 16)
+    emb = _emb(spark, vecs)
+    query = hyperplane(7, 16)
+    got = ivfpq_topk(
+        emb, query, k=8, n_lists=6, n_probe=3, m=4, ks=8, n_iter=1, refine_k=80
+    ).collect()
+    assert len(got) == 8
+    assert len({r["list_id"] for r in got}) <= 3  # only probed lists
+    exact = {r["vec_id"]: r["cos_sim"] for r in cosine_topk(emb, query, k=240).collect()}
+    for r in got:
+        assert r["cos_sim"] == exact[r["vec_id"]]  # exact re-rank
+    # the probe-filtered exact path (ivf with the same trained centroids)
+    # bounds what ivfpq can return: its top-1 must match ivf's top-1
+    cents = kmeans_centroids(emb, n_lists=6, n_iter=1)
+    ivf = ivf_topk(emb, query, k=1, n_probe=3, centroids=cents).collect()
+    assert got[0]["vec_id"] == ivf[0]["vec_id"]
+
+
+def test_ivfpq_deterministic(spark):
+    from wpextract_spark.operators.similarity import ivfpq_topk
+
+    vecs = np.random.RandomState(21).randn(90, 8)
+    emb = _emb(spark, vecs)
+    q = hyperplane(3, 8)
+    kw = dict(k=5, n_lists=4, n_probe=2, m=2, ks=4, n_iter=1, refine_k=30)
+    assert ivfpq_topk(emb, q, **kw).collect() == ivfpq_topk(emb, q, **kw).collect()

@@ -481,6 +481,117 @@ def pq_topk(
     )
 
 
+def ivfpq_topk(
+    embeddings: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_lists: int = 8,
+    n_probe: int = 3,
+    m: int = 8,
+    ks: int = 16,
+    n_iter: int = 2,
+    refine_k: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the standard billion-scale ANN composition (Jégou et al.,
+    TPAMI 2011; FAISS's IndexIVFPQ) — coarse k-means routing prunes the scan
+    to ``n_probe`` of ``n_lists`` inverted lists, then PQ ADC scores only
+    the probed rows, then the best ``refine_k`` are exactly re-ranked.
+
+    Training is query-independent and shared: the coarse quantizer is
+    :func:`kmeans_centroids` (full-dim) and the fine quantizer is
+    :func:`pq_codebooks` (jointly-trained subspace codebooks on raw
+    vectors — the IVFFlat+PQ variant; classic IVFPQ encodes residuals,
+    which would break the shared-oracle property that both quantizers are
+    restatable in SQL, and at our list counts raw-vector codebooks lose
+    little recall). Search is ONE narrow pass: per row n_lists coarse
+    cosines (JVM expressions), a probe filter that drops
+    ~(1 - n_probe/n_lists) of the corpus BEFORE the m*ks ADC lookups run
+    on it, then two TakeOrdered partial top-k reduces. No shuffle anywhere
+    except the top-k; at 100 TB the scan reads 8 codes + 1 norm per vector
+    once codes are materialized (the PQ compression point).
+
+    Output: (id, list_id, approx_cos, cos_sim) of the final k.
+    """
+    dim = len(query)
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    vec = F.col(vec_col).cast("array<double>")
+
+    cents = kmeans_centroids(
+        embeddings, n_lists=n_lists, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+    )
+    codebooks = pq_codebooks(
+        embeddings, dim, m=m, ks=ks, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+    )
+
+    def _qcos(c: list[float]) -> float:
+        num = sum(a * b for a, b in zip(query, c))
+        den = math.sqrt(sum(a * a for a in query)) * math.sqrt(sum(a * a for a in c))
+        return num / den if den else 0.0
+
+    probe_ids = [
+        cid for cid, _ in sorted(cents, key=lambda t: (-_qcos(t[1]), t[0]))[:n_probe]
+    ]
+
+    # Coarse assignment: same struct(score, -cid) array_max as ivf_topk
+    # (ties -> smallest centroid id, mirrored in the oracle's row_number).
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    cosine(vec, F.array(*[F.lit(v) for v in c])).alias("s"),
+                    F.lit(-cid).alias("nc"),
+                )
+                for cid, c in cents
+            ]
+        )
+    )
+
+    qnorm = math.sqrt(sum(x * x for x in query))
+    terms = []
+    for s, book in enumerate(codebooks):
+        off = s * dsub
+        qs = query[off : off + dsub]
+        cands = ", ".join(
+            f"named_struct('d', {_l2_lit('v', c, off)}, 'c', {cid}, "
+            f"'w', {float(sum(a * b for a, b in zip(qs, c)))!r})"
+            for cid, c in book
+        )
+        terms.append(f"array_min(array({cands})).w")
+    approx_sql = (
+        f"round(({' + '.join(terms)}) / ({qnorm!r} * sqrt({_sq_norm_lit('v', dim)})), 6)"
+    )
+
+    q = F.array(*[F.lit(float(v)) for v in query])
+    probed = (
+        embeddings.select(F.col(id_col), vec.alias("v"), (-best["nc"]).alias("list_id"))
+        .where(F.col("list_id").isin(probe_ids))
+    )
+    cands = (
+        probed.select(
+            F.col(id_col),
+            F.col("v"),
+            F.col("list_id").cast("int").alias("list_id"),
+            F.expr(approx_sql).alias("approx_cos"),
+        )
+        .orderBy(F.desc("approx_cos"), F.asc(id_col))
+        .limit(refine_k)
+    )
+    return (
+        cands.select(
+            F.col(id_col),
+            "list_id",
+            "approx_cos",
+            F.round(cosine(F.col("v"), q), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def _dot_lit(vec: str, coeffs: list[float], off: int = 0) -> str:
     """SQL text for the explicit left-associated ``sum_i vec[i]*coeffs[i]``
     — the same float-operation order as an ``aggregate`` fold and DuckDB's

@@ -1319,6 +1319,108 @@ FROM pqcand ORDER BY cos_sim DESC, vec_id ASC LIMIT {k}
 """
 
 
+def q_similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composite ANN (operators/similarity.py:ivfpq_topk): coarse
+    k-means routing (n_probe of n_lists inverted lists) prunes the corpus
+    BEFORE the PQ ADC scan runs on it, exact re-rank of the refine set —
+    FAISS's IndexIVFPQ shape, the standard billion-scale configuration.
+    Both quantizers are the shared deterministic Lloyd's, so the oracle
+    composes the same two CTE builders the IVF and PQ oracles use."""
+    from wpextract_spark.operators.similarity import hyperplane, ivfpq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        emb, hyperplane(99, 64), k=10, n_lists=8, n_probe=3, m=8, ks=16,
+        n_iter=2, refine_k=50,
+    )
+
+
+def _oracle_similarity_ivfpq(
+    dim: int = 64,
+    n_lists: int = 8,
+    n_probe: int = 3,
+    m: int = 8,
+    ks: int = 16,
+    n_iter: int = 2,
+    refine_k: int = 50,
+    k: int = 10,
+) -> str:
+    import math as _math
+
+    from wpextract_spark.operators.similarity import hyperplane
+
+    query = hyperplane(99, dim)
+    dsub = dim // m
+    qnorm = _math.sqrt(sum(x * x for x in query))
+    q_lit = "[" + ", ".join(repr(v) for v in query) + "]"
+
+    # Coarse quantizer: full-dim k-means (prefix g), probe + assignment.
+    parts, gfinal, gx = _kmeans_cte(dim, n_lists, n_iter, prefix="g")
+    dot, norm_e, norm_c = gx["dot"], gx["norm_e"], gx["norm_c"]
+    qdot_c = f"list_sum([({q_lit})[i+1] * cv[i+1] for i in range({dim})])"
+    parts.append(
+        f"""gassigned AS (
+  SELECT vec_id, cid AS list_id FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {dot} / ({norm_e} * {norm_c}) DESC, c.cid ASC) rn
+    FROM {gx["e"]} e CROSS JOIN {gfinal} c) WHERE rn = 1),
+gprobe AS (
+  SELECT cid FROM (
+    SELECT cid, row_number() OVER (
+      ORDER BY {qdot_c} / sqrt(list_sum([x * x for x in cv])) DESC, cid ASC) rn
+    FROM {gfinal}) WHERE rn <= {n_probe})"""
+    )
+
+    # Fine quantizer: per-subspace codebooks + ADC picks (PQ oracle shape).
+    picks: list[str] = []
+    for s in range(m):
+        p, final, x = _kmeans_cte(
+            dsub, ks, n_iter, prefix=f"s{s}", slice_off=s * dsub, lead_with=False
+        )
+        parts += p
+        qs = query[s * dsub : (s + 1) * dsub]
+        qs_lit = "[" + ", ".join(repr(v) for v in qs) + "]"
+        l2 = (
+            f"list_sum([(e.v[i+1] - c.cv[i+1]) * (e.v[i+1] - c.cv[i+1]) "
+            f"for i in range({dsub})])"
+        )
+        parts.append(
+            f"""s{s}pick AS (
+  SELECT vec_id, w FROM (
+    SELECT e.vec_id,
+           list_sum([({qs_lit})[i+1] * c.cv[i+1] for i in range({dsub})]) AS w,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {l2} ASC, c.cid ASC) rn
+    FROM {x["e"]} e CROSS JOIN {final} c) WHERE rn = 1)"""
+        )
+        picks.append(f"s{s}pick")
+
+    wsum = " + ".join(f"{p}.w" for p in picks)
+    joins = "\n  ".join(f"JOIN {p} ON {p}.vec_id = f.vec_id" for p in picks)
+    parts.append(
+        f"""ipqfull AS (
+  SELECT e.vec_id, e.v, a.list_id
+  FROM {gx["e"]} e JOIN gassigned a ON a.vec_id = e.vec_id
+  WHERE a.list_id IN (SELECT cid FROM gprobe)),
+ipqapprox AS (
+  SELECT f.vec_id, f.v, f.list_id,
+         round(({wsum}) / ({qnorm!r} * sqrt(list_sum([x * x for x in f.v]))), 6)
+           AS approx_cos
+  FROM ipqfull f
+  {joins}),
+ipqcand AS (
+  SELECT * FROM ipqapprox ORDER BY approx_cos DESC, vec_id ASC LIMIT {refine_k})"""
+    )
+    body = ",\n".join(parts)
+    return f"""{body}
+SELECT vec_id, CAST(list_id AS INTEGER) AS list_id, approx_cos,
+       round(list_sum([v[i+1] * ({q_lit})[i+1] for i in range({dim})])
+             / ({qnorm!r} * sqrt(list_sum([x * x for x in v]))), 6) AS cos_sim
+FROM ipqcand ORDER BY cos_sim DESC, vec_id ASC LIMIT {k}
+"""
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the embeddings table: k-means the embedding space
     (same deterministic Lloyd's as q_similarity_ivf_kmeans), then inside
@@ -2916,6 +3018,7 @@ QUERIES = {
     "q_semantic_dedup": q_semantic_dedup,  # new in round 4 — needs a driver row
     "q_image_ahash_dups": q_image_ahash_dups,  # new in round 4 — needs a driver row
     "q_similarity_pq": q_similarity_pq,  # new in round 4 — needs a driver row
+    "q_similarity_ivfpq": q_similarity_ivfpq,  # new in round 4 — needs a driver row
     "q_line_dedup": q_line_dedup,
     "q_pii_scrub": q_pii_scrub,
     "q_c4_filter": q_c4_filter,
@@ -3042,6 +3145,7 @@ ORACLES = {
     "q_semantic_dedup": _oracle_semantic_dedup(),
     "q_image_ahash_dups": ORACLE_IMAGE_AHASH,
     "q_similarity_pq": _oracle_similarity_pq(),
+    "q_similarity_ivfpq": _oracle_similarity_ivfpq(),
     "q_audio_meta": ORACLE_AUDIO_META,
     "q_frame_sample": ORACLE_FRAME_SAMPLE,
     "q_pdf_roundtrip": ORACLE_PDF_ROUNDTRIP,
