@@ -151,3 +151,67 @@ def test_pii_scrub_email_digits_not_double_counted(spark):
     assert row["n_emails"] == 1
     assert row["n_phones"] == 0
     assert row["text_scrubbed"] == "contact <EMAIL> please"
+
+
+def test_url_filter_blocklist_and_score(spark):
+    from wpextract_spark.operators.corpusfilters import url_filter
+
+    rows = [
+        (1, "https://ads.spam.example.org/x"),          # parent-domain block
+        (2, "https://spam.example.org/y"),              # exact block
+        (3, "https://good.example.org/casino/z"),       # word score 1.0
+        (4, "https://good.example.org/free-download"),  # 0.5 -> keep
+        (5, "https://good.example.org/free-download/winner-casino"),  # 1.75
+        (6, "https://good.example.org/plain"),
+        (7, "https://GOOD.example.org/CASINO"),         # case-insensitive
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in url_filter(docs, ["spam.example.org"]).collect()
+    }
+    assert got[1]["domain_blocked"] and not got[1]["keep"]
+    assert got[2]["domain_blocked"] and not got[2]["keep"]
+    assert not got[3]["domain_blocked"] and got[3]["url_score"] == 1.0 and not got[3]["keep"]
+    assert got[4]["url_score"] == 0.5 and got[4]["keep"]
+    assert got[5]["url_score"] == 1.75 and not got[5]["keep"]
+    assert got[6]["url_score"] == 0.0 and got[6]["keep"]
+    assert got[7]["url_score"] == 1.0 and got[7]["domain"] == "good.example.org"
+
+
+def test_url_filter_dataframe_blocklist_agrees_with_list(spark):
+    from wpextract_spark.operators.corpusfilters import url_filter
+
+    rows = [
+        (i, f"https://{'ads.' if i % 3 == 0 else ''}site{i % 5}.example.org/p{i}")
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, url string")
+    blocked = ["site2.example.org", "ads.site0.example.org"]
+    via_list = url_filter(docs, blocked).orderBy("doc_id").collect()
+    bl = spark.createDataFrame([(d,) for d in blocked], "bdomain string")
+    via_df = url_filter(docs, bl).orderBy("doc_id").collect()
+    assert [r.asDict() for r in via_list] == [r.asDict() for r in via_df]
+
+
+def test_url_filter_list_mode_plan_has_no_exchange(spark):
+    from wpextract_spark.operators.corpusfilters import url_filter
+
+    docs = spark.createDataFrame([(1, "https://a.example.org/x")], "doc_id long, url string")
+    plan = (
+        url_filter(docs, ["b.example.org"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # pure row-local expressions
+
+
+def test_url_filter_df_mode_broadcasts_blocklist(spark):
+    from wpextract_spark.operators.corpusfilters import url_filter
+
+    docs = spark.createDataFrame(
+        [(i, f"https://s{i}.example.org/x") for i in range(20)],
+        "doc_id long, url string",
+    )
+    bl = spark.createDataFrame([("s3.example.org",)], "bdomain string")
+    plan = url_filter(docs, bl)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan

@@ -381,3 +381,102 @@ def pii_scrub(
         n_ips.cast("long").alias("n_ips"),
         n_phones.cast("long").alias("n_phones"),
     )
+
+
+#: Default URL word-score list (RefinedWeb §3.1-style: weighted presence of
+#: flagged substrings in the lowercased URL). Weights are per-hit; a page
+#: is dropped when the summed score reaches URL_SCORE_THRESHOLD. The list
+#: here is a small innocuous stand-in for the published adult/fraud lists —
+#: module-level so oracles restate identical literals and deployments
+#: substitute their own.
+URL_BANNED_WORDS: tuple[tuple[str, float], ...] = (
+    ("casino", 1.0),
+    ("lottery", 1.0),
+    ("-pills-", 1.0),
+    ("free-download", 0.5),
+    ("click-here", 0.5),
+    ("winner", 0.25),
+    ("deal-of-the-day", 0.25),
+)
+URL_SCORE_THRESHOLD = 1.0
+
+
+def _domain_suffix_chain(domain: Column) -> Column:
+    """All dot-suffixes of a domain (``a.b.c.org`` -> [a.b.c.org, b.c.org,
+    c.org]): a row-local expression, bounded by label count, that turns
+    subdomain blocking into EXACT set membership — the scale trick that
+    avoids a non-equi (endswith) join against the blocklist."""
+    labels = F.split(domain, r"\.", -1)
+    n = F.size(labels)
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat_ws(".", F.slice(labels, i, n)),
+    )
+
+
+def url_filter(
+    docs: DataFrame,
+    blocked_domains: "list[str] | DataFrame",
+    banned_words: tuple[tuple[str, float], ...] = URL_BANNED_WORDS,
+    threshold: float = URL_SCORE_THRESHOLD,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+) -> DataFrame:
+    """URL-level curation filter (RefinedWeb §3.1: domain blocklist +
+    URL word score). Output: ``(id, url, domain, domain_blocked,
+    url_score, keep)`` with ``keep = NOT blocked AND score < threshold``.
+
+    Blocking matches the domain OR any parent domain (subdomain coverage)
+    via the suffix-chain trick (:func:`_domain_suffix_chain`). Two paths by
+    blocklist size:
+
+    * ``list`` (config-scale, the common case): membership is a plan-literal
+      ``arrays_overlap`` — pure row-local expression, ZERO shuffles, fully
+      SQL-restatable (the oracle path).
+    * ``DataFrame`` (production 4.6M-domain lists): suffix explode ->
+      broadcast LEFT SEMI join -> max-hit regroup on ``id`` — one broadcast
+      plus one uniform id-keyed shuffle; the blocklist never shuffles.
+
+    The word score is a literal expression fold over the lowercased URL —
+    whole-stage codegen, no UDF.
+    """
+    url = F.col(url_col)
+    lurl = F.lower(url)
+    domain = F.regexp_extract(lurl, r"^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)
+    score = None
+    for word, weight in banned_words:
+        term = F.when(lurl.contains(word), F.lit(weight)).otherwise(F.lit(0.0))
+        score = term if score is None else score + term
+    base = docs.select(
+        F.col(id_col),
+        url,
+        domain.alias("domain"),
+        _domain_suffix_chain(domain).alias("_sfx"),
+        F.round(score, 2).alias("url_score"),
+    )
+
+    if isinstance(blocked_domains, DataFrame):
+        bl = blocked_domains.toDF("bdomain")
+        hits = (
+            base.select(F.col(id_col), F.explode("_sfx").alias("sfx"))
+            .join(F.broadcast(bl), F.col("sfx") == F.col("bdomain"), "leftsemi")
+            .select(F.col(id_col).alias("_hit_id"))
+            .distinct()
+        )
+        flagged = base.join(
+            hits, base[id_col] == hits["_hit_id"], "left"
+        ).withColumn("domain_blocked", F.col("_hit_id").isNotNull())
+    else:
+        blocked_lit = F.array(*[F.lit(d) for d in blocked_domains])
+        flagged = base.withColumn(
+            "domain_blocked", F.arrays_overlap(F.col("_sfx"), blocked_lit)
+        )
+
+    return flagged.select(
+        F.col(id_col),
+        url_col,
+        "domain",
+        "domain_blocked",
+        "url_score",
+        (~F.col("domain_blocked") & (F.col("url_score") < threshold)).alias("keep"),
+    )

@@ -2629,6 +2629,75 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_dedup(docs.select("doc_id", url.alias("url")))
 
 
+def q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb-style URL curation (operators/corpusfilters.py:url_filter):
+    domain blocklist with subdomain coverage via the suffix-chain trick
+    (exact set membership instead of an endswith join) + a weighted
+    banned-word score over the lowercased URL. URLs are derived
+    deterministically so some docs land on blocked (sub)domains and some
+    carry scoring words; the oracle restates the suffix chain, the literal
+    word weights, and the keep rule."""
+    from wpextract_spark.operators.corpusfilters import url_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    host = F.concat(
+        F.when(F.col("doc_id") % 5 == 0, F.lit("ads.")).otherwise(F.lit("www.")),
+        F.col("source"),
+        F.lit(".example.org"),
+    )
+    path = (
+        F.when(F.col("doc_id") % 7 == 0, F.lit("free-download/offer-"))
+        .when(F.col("doc_id") % 11 == 0, F.lit("casino/room-"))
+        .otherwise(F.lit("articles/post-"))
+    )
+    url = F.concat(F.lit("https://"), host, F.lit("/"), path, F.col("doc_id"))
+    return url_filter(
+        docs.select("doc_id", url.alias("url")),
+        ["ads.src1.example.org", "src2.example.org"],
+    )
+
+
+ORACLE_URL_FILTER = """
+WITH u AS (
+  SELECT doc_id,
+         'https://'
+           || (CASE WHEN doc_id % 5 = 0 THEN 'ads.' ELSE 'www.' END)
+           || source || '.example.org/'
+           || (CASE WHEN doc_id % 7 = 0 THEN 'free-download/offer-'
+                    WHEN doc_id % 11 = 0 THEN 'casino/room-'
+                    ELSE 'articles/post-' END)
+           || CAST(doc_id AS VARCHAR) AS url
+  FROM documents),
+d AS (
+  SELECT doc_id, url,
+         regexp_extract(lower(url), '^[a-z][a-z0-9+.-]*://([^/:?#]+)', 1)
+           AS domain
+  FROM u),
+s AS (
+  SELECT doc_id, url, domain,
+         string_split(domain, '.') AS labels,
+         CAST(round(
+                 (CASE WHEN contains(lower(url), 'casino') THEN 1.0 ELSE 0.0 END)
+               + (CASE WHEN contains(lower(url), 'lottery') THEN 1.0 ELSE 0.0 END)
+               + (CASE WHEN contains(lower(url), '-pills-') THEN 1.0 ELSE 0.0 END)
+               + (CASE WHEN contains(lower(url), 'free-download') THEN 0.5 ELSE 0.0 END)
+               + (CASE WHEN contains(lower(url), 'click-here') THEN 0.5 ELSE 0.0 END)
+               + (CASE WHEN contains(lower(url), 'winner') THEN 0.25 ELSE 0.0 END)
+               + (CASE WHEN contains(lower(url), 'deal-of-the-day') THEN 0.25 ELSE 0.0 END)
+           , 2) AS DOUBLE) AS url_score
+  FROM d),
+b AS (
+  SELECT doc_id, url, domain, url_score,
+         len(list_intersect(
+           [array_to_string(labels[i+1:], '.') for i in range(len(labels))],
+           ['ads.src1.example.org', 'src2.example.org'])) > 0 AS domain_blocked
+  FROM s)
+SELECT doc_id, url, domain, domain_blocked, url_score,
+       (NOT domain_blocked AND url_score < 1.0) AS keep
+FROM b
+"""
+
+
 #: The oracle restates the full canonicalization pipeline step by step —
 #: fragment strip, prefix lowering, default-port drop, path/query split,
 #: trailing slash, tracking-param filter + sort — not just the constructed
@@ -3019,6 +3088,7 @@ QUERIES = {
     "q_image_ahash_dups": q_image_ahash_dups,  # new in round 4 — needs a driver row
     "q_similarity_pq": q_similarity_pq,  # new in round 4 — needs a driver row
     "q_similarity_ivfpq": q_similarity_ivfpq,  # new in round 4 — needs a driver row
+    "q_url_filter": q_url_filter,  # new in round 4 — needs a driver row
     "q_line_dedup": q_line_dedup,
     "q_pii_scrub": q_pii_scrub,
     "q_c4_filter": q_c4_filter,
@@ -3146,6 +3216,7 @@ ORACLES = {
     "q_image_ahash_dups": ORACLE_IMAGE_AHASH,
     "q_similarity_pq": _oracle_similarity_pq(),
     "q_similarity_ivfpq": _oracle_similarity_ivfpq(),
+    "q_url_filter": ORACLE_URL_FILTER,
     "q_audio_meta": ORACLE_AUDIO_META,
     "q_frame_sample": ORACLE_FRAME_SAMPLE,
     "q_pdf_roundtrip": ORACLE_PDF_ROUNDTRIP,
