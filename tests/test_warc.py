@@ -231,3 +231,46 @@ class TestDistributed:
         rows = {r["doc_id"]: r for r in warc_payload_stats(docs).collect()}
         assert rows[1]["n_records"] == 0 and rows[1]["target_uri"] is None
         assert rows[2]["n_records"] == 0
+
+
+class TestPipelineIntegration:
+    def test_warc_feeds_resumable_extract_job(self, spark, tmp_path):
+        """End-to-end crawl-ingest path: .warc.gz files -> warc_to_pages ->
+        ResumableExtractJob produces byte-identical extracted text to the
+        same job run on the pages table directly (the WARC source is a
+        drop-in for the input_hint table)."""
+        from pyspark.sql import functions as F
+
+        from wpextract_spark.plans.job import ResumableExtractJob
+        from wpextract_spark.sources.synth import generate_pages
+        from wpextract_spark.sources.warc import read_warc_records, warc_to_pages
+
+        n = 40
+        pages_rows = generate_pages(spark, n, seed=42).collect()
+        warc_root = tmp_path / "warcs"
+        warc_root.mkdir()
+        for shard in range(2):
+            chunk = [r.asDict() for r in pages_rows[shard * 20 : (shard + 1) * 20]]
+            for c in chunk:
+                c["doc_id"] = int(c["url"].rsplit("post-", 1)[1].rstrip("/"))
+            (warc_root / f"p{shard}.warc.gz").write_bytes(build_warc(chunk))
+
+        via_warc = warc_to_pages(read_warc_records(spark, str(warc_root) + "/*.warc.gz"))
+        job_w = ResumableExtractJob(spark, via_warc, tmp_path / "out_warc", n_chunks=3)
+        job_w.run()
+        job_p = ResumableExtractJob(
+            spark, generate_pages(spark, n, seed=42), tmp_path / "out_pages", n_chunks=3
+        )
+        job_p.run()
+
+        got = {
+            r["url"]: r["text"]
+            for r in job_w.output().select("url", F.col("content.text").alias("text")).collect()
+        }
+        want = {
+            r["url"]: r["text"]
+            for r in job_p.output().select("url", F.col("content.text").alias("text")).collect()
+        }
+        assert got == want and len(got) == n
+        # lineage committed for the WARC-fed run too
+        assert job_w.metrics().agg(F.sum("n_docs")).first()[0] == n
