@@ -2629,6 +2629,35 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_dedup(docs.select("doc_id", url.alias("url")))
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping word-window chunking with provenance offsets
+    (operators/chunking.py): 32-word windows, 8-word overlap, zero-shuffle
+    row-local explode. The oracle restates the window formula over a
+    range() join with DuckDB list slicing."""
+    from wpextract_spark.operators.chunking import chunk_documents
+
+    return chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_size=32, overlap=8
+    )
+
+
+ORACLE_CHUNK_DOCUMENTS = rf"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(trim(text), '{WS_SQL}') AS ws
+  FROM documents),
+c AS (
+  SELECT doc_id, ws,
+         1 + (greatest(len(ws) - 32, 0) + 23) // 24 AS n_chunks
+  FROM w)
+SELECT doc_id,
+       CAST(i.v AS INTEGER) AS chunk_id,
+       CAST(i.v * 24 AS INTEGER) AS start_word,
+       CAST(len(ws[i.v * 24 + 1 : i.v * 24 + 32]) AS INTEGER) AS n_words,
+       array_to_string(ws[i.v * 24 + 1 : i.v * 24 + 32], ' ') AS chunk_text
+FROM c JOIN range(100000) i(v) ON i.v < n_chunks
+"""
+
+
 def q_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RefinedWeb-style URL curation (operators/corpusfilters.py:url_filter):
     domain blocklist with subdomain coverage via the suffix-chain trick
@@ -3089,6 +3118,7 @@ QUERIES = {
     "q_similarity_pq": q_similarity_pq,  # new in round 4 — needs a driver row
     "q_similarity_ivfpq": q_similarity_ivfpq,  # new in round 4 — needs a driver row
     "q_url_filter": q_url_filter,  # new in round 4 — needs a driver row
+    "q_chunk_documents": q_chunk_documents,  # new in round 4 — needs a driver row
     "q_line_dedup": q_line_dedup,
     "q_pii_scrub": q_pii_scrub,
     "q_c4_filter": q_c4_filter,
@@ -3217,6 +3247,7 @@ ORACLES = {
     "q_similarity_pq": _oracle_similarity_pq(),
     "q_similarity_ivfpq": _oracle_similarity_ivfpq(),
     "q_url_filter": ORACLE_URL_FILTER,
+    "q_chunk_documents": ORACLE_CHUNK_DOCUMENTS,
     "q_audio_meta": ORACLE_AUDIO_META,
     "q_frame_sample": ORACLE_FRAME_SAMPLE,
     "q_pdf_roundtrip": ORACLE_PDF_ROUNDTRIP,
