@@ -96,3 +96,64 @@ def test_nested_rates_give_nested_samples(spark):
         }
     assert keep[0.2] <= keep[0.5] <= keep[0.8]
     assert len(keep[0.2]) < len(keep[0.8])
+
+
+def test_source_mix_budgets(spark):
+    from wpextract_spark.operators.sampling import source_mix
+
+    rows = []
+    for i in range(300):
+        src = f"s{i % 3}"
+        rows.append((i, src, "w " * (5 + i % 7)))
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = source_mix(
+        docs, budgets={"s0": 300, "s1": 10**9, "s2": 0}, salt="mix"
+    ).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    # keep-all sentinel
+    assert all(r["selected"] for r in by_src["s1"])
+    assert by_src["s1"][0]["rate_key"] == "g"
+    # zero budget drops everything
+    assert not any(r["selected"] for r in by_src["s2"])
+    # partial budget: selected word mass lands near the budget
+    sel_words = sum(r["n_words"] for r in by_src["s0"] if r["selected"])
+    total_words = sum(r["n_words"] for r in by_src["s0"])
+    assert 0 < sel_words < total_words
+    assert abs(sel_words - 300) < total_words * 0.25  # Bernoulli tolerance
+    # every row kept in the output (audit-before-apply contract)
+    assert len(out) == 300
+
+
+def test_source_mix_default_budget_and_determinism(spark):
+    from wpextract_spark.operators.sampling import source_mix
+
+    docs = spark.createDataFrame(
+        [(i, "other", "a b c d") for i in range(50)],
+        "doc_id long, source string, text string",
+    )
+    a = source_mix(docs, budgets={}, default_budget=100, salt="mix").collect()
+    b = source_mix(docs, budgets={}, default_budget=100, salt="mix").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # default None keeps everything
+    c = source_mix(docs, budgets={}).collect()
+    assert all(r["selected"] for r in c)
+
+
+def test_source_mix_selection_is_repartition_stable(spark):
+    from wpextract_spark.operators.sampling import source_mix
+
+    docs = spark.createDataFrame(
+        [(i, "s", "x " * 10) for i in range(200)],
+        "doc_id long, source string, text string",
+    )
+    one = {
+        r["doc_id"]: r["selected"]
+        for r in source_mix(docs.coalesce(1), budgets={"s": 500}).collect()
+    }
+    many = {
+        r["doc_id"]: r["selected"]
+        for r in source_mix(docs.repartition(16), budgets={"s": 500}).collect()
+    }
+    assert one == many

@@ -109,3 +109,68 @@ def hash_split(
     for bound, label in reversed(cases):
         expr = F.when(key < bound, F.lit(label)).otherwise(expr)
     return docs.withColumn("split", expr)
+
+
+def source_mix(
+    docs: DataFrame,
+    budgets: dict[str, int],
+    default_budget: int | None = None,
+    salt: str = "mix",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budget corpus mixing (the FineWeb/DoReMi-style source-balancing
+    pass): per source, keep a deterministic Bernoulli subsample whose
+    expected word mass equals that source's ``budgets`` entry.
+
+    The per-source keep rate is ``min(1, budget / total_words)``, realized
+    through the same md5-threshold rule as :func:`stratified_sample` — but
+    the threshold is computed in EXACT integer arithmetic
+    (``budget * 2^32 // total``, arbitrary-precision in Python, HUGEINT in
+    the SQL oracle), so both engines compare against bit-identical hex
+    strings and no float rounding can flip a row near the boundary.
+
+    Scale shape: one word-count shuffle (groupBy source, map-side partial
+    agg) whose result — sources are config-scale by definition — collects
+    as k rows and compiles into a literal CASE threshold, exactly the
+    :func:`stratified_sample` convention. The selection itself is then a
+    pure per-row filter: no join, no second shuffle, whole-stage codegen.
+    Sources missing from ``budgets`` use ``default_budget`` (None = keep
+    all). Output keeps every row with ``(n_words, rate_key, selected)`` so
+    callers can audit the cut before applying it.
+    """
+    from wpextract_spark.operators.dedup import WS
+
+    n_words = F.size(F.split(F.trim(F.col(text_col)), WS, -1))
+    base = docs.select(
+        F.col(id_col), F.col(source_col), n_words.alias("n_words")
+    )
+    totals = {
+        r["source"]: int(r["total"])
+        for r in base.groupBy(source_col)
+        .agg(F.sum("n_words").alias("total"))
+        .collect()
+    }
+
+    def _hex_threshold(budget: int | None, total: int) -> str:
+        if budget is None or budget >= total:
+            return "g"  # the always-keep sentinel (sorts above every hex digit)
+        if budget <= 0:
+            return ""
+        return format(budget * 16**_KEY_LEN // total, f"0{_KEY_LEN}x")
+
+    threshold: Column = F.lit("")
+    for source, total in sorted(totals.items()):
+        budget = budgets.get(source, default_budget)
+        threshold = F.when(
+            F.col(source_col) == source, F.lit(_hex_threshold(budget, total))
+        ).otherwise(threshold)
+    key = sample_key(id_col, salt)
+    return base.select(
+        F.col(id_col),
+        F.col(source_col),
+        F.col("n_words").cast("int").alias("n_words"),
+        threshold.alias("rate_key"),
+        (key < threshold).alias("selected"),
+    )

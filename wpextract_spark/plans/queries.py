@@ -2629,6 +2629,54 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_dedup(docs.select("doc_id", url.alias("url")))
 
 
+def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus mixing (operators/sampling.py:source_mix):
+    per-source keep rates min(1, budget/total_words) realized through the
+    md5-threshold rule with EXACT integer thresholds (budget * 2^32 //
+    total) so Spark and the oracle compare bit-identical hex strings.
+    Budgets exercise all regimes: partial rate (src0), keep-all sentinel
+    (src1), zero (src2), and a default for every other source."""
+    from wpextract_spark.operators.sampling import source_mix
+
+    return source_mix(
+        _t(spark, sf_dir, "documents"),
+        budgets={"src0": 1500, "src1": 10_000_000, "src2": 0},
+        default_budget=800,
+        salt="mix",
+    )
+
+
+ORACLE_SOURCE_MIX = rf"""
+WITH w AS (
+  SELECT doc_id, source,
+         len(string_split_regex(trim(text), '{WS_SQL}')) AS n_words
+  FROM documents),
+t AS (
+  SELECT source, sum(n_words) AS total FROM w GROUP BY source),
+r AS (
+  SELECT source, total,
+         CASE WHEN source = 'src0' THEN 1500
+              WHEN source = 'src1' THEN 10000000
+              WHEN source = 'src2' THEN 0
+              ELSE 800 END AS budget
+  FROM t),
+k AS (
+  SELECT source,
+         CASE WHEN budget >= total THEN 'g'
+              WHEN budget <= 0 THEN ''
+              ELSE printf('%08x',
+                     CAST(CAST(budget AS HUGEINT) * 4294967296 // total
+                          AS BIGINT))
+         END AS rate_key
+  FROM r)
+SELECT w.doc_id, w.source, CAST(w.n_words AS INTEGER) AS n_words,
+       k.rate_key,
+       substr(md5('mix:' || CAST(w.doc_id AS VARCHAR)), 1, 8) < k.rate_key
+         AS selected
+FROM w JOIN k USING (source)
+"""
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping word-window chunking with provenance offsets
     (operators/chunking.py): 32-word windows, 8-word overlap, zero-shuffle
@@ -3119,6 +3167,7 @@ QUERIES = {
     "q_similarity_ivfpq": q_similarity_ivfpq,  # new in round 4 — needs a driver row
     "q_url_filter": q_url_filter,  # new in round 4 — needs a driver row
     "q_chunk_documents": q_chunk_documents,  # new in round 4 — needs a driver row
+    "q_source_mix": q_source_mix,  # new in round 4 — needs a driver row
     "q_line_dedup": q_line_dedup,
     "q_pii_scrub": q_pii_scrub,
     "q_c4_filter": q_c4_filter,
@@ -3248,6 +3297,7 @@ ORACLES = {
     "q_similarity_ivfpq": _oracle_similarity_ivfpq(),
     "q_url_filter": ORACLE_URL_FILTER,
     "q_chunk_documents": ORACLE_CHUNK_DOCUMENTS,
+    "q_source_mix": ORACLE_SOURCE_MIX,
     "q_audio_meta": ORACLE_AUDIO_META,
     "q_frame_sample": ORACLE_FRAME_SAMPLE,
     "q_pdf_roundtrip": ORACLE_PDF_ROUNDTRIP,
