@@ -15,9 +15,37 @@ planes are constructible in any engine for oracle checks.
 from __future__ import annotations
 
 import math
+from contextlib import contextmanager
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+@contextmanager
+def _interpreted_eval(df: DataFrame):
+    """Run a block with whole-stage codegen off, then restore.
+
+    Quantizer TRAINING actions build a fresh giant-literal plan per Lloyd's
+    iteration and execute it exactly once; Janino-compiling each throwaway
+    method costs ~20s per action at ANY data size (measured: 21s compiled
+    vs <1s interpreted on the same plan), while interpreted eval is
+    data-bound and the training reduce is a skinny partial-agg. The SEARCH
+    scans (ADC scoring, IVF probe filter) keep codegen — they are the
+    plans that run over the full corpus, where compile time amortizes.
+    Values are unaffected: same expressions, same float-op order, only the
+    evaluation strategy changes."""
+    spark = df.sparkSession
+    ws_key = "spark.sql.codegen.wholeStage"
+    fm_key = "spark.sql.codegen.factoryMode"
+    old_ws = spark.conf.get(ws_key, "true")
+    old_fm = spark.conf.get(fm_key, "FALLBACK")
+    spark.conf.set(ws_key, "false")
+    spark.conf.set(fm_key, "NO_CODEGEN")
+    try:
+        yield
+    finally:
+        spark.conf.set(ws_key, old_ws)
+        spark.conf.set(fm_key, old_fm)
 
 _P1 = 7919.0
 _P2 = 104729.0
@@ -153,12 +181,13 @@ def kmeans_centroids(
         # struct-field access makes the analyzer canonicalize the struct's
         # field names away (col1/col2) on Spark 4.1.
         assigned = embeddings.select((-best["nc"]).alias("cid"), vec.alias("v"))
-        cells = (
-            assigned.select("cid", F.posexplode("v").alias("pos", "val"))
-            .groupBy("cid", "pos")
-            .agg(F.round(F.avg("val"), round_digits).alias("m"))
-            .collect()
-        )
+        with _interpreted_eval(embeddings):
+            cells = (
+                assigned.select("cid", F.posexplode("v").alias("pos", "val"))
+                .groupBy("cid", "pos")
+                .agg(F.round(F.avg("val"), round_digits).alias("m"))
+                .collect()
+            )
         means: dict[int, dict[int, float]] = {}
         for row in cells:
             means.setdefault(int(row["cid"]), {})[int(row["pos"])] = float(row["m"])
@@ -643,13 +672,18 @@ def pq_codebooks(
     """
     dsub = dim // m
     vec = F.col(vec_col).cast("array<double>")
+    # The subvector norm is factored into a column computed ONCE per row
+    # instead of being respelled inside every codeword struct — it halves
+    # the per-iteration expression string (the norm text dominated it) with
+    # bit-identical values (same ops, same order, evaluated once).
     subs = embeddings.select(
         F.col(id_col),
         F.posexplode(
             F.array(*[F.slice(vec, s * dsub + 1, dsub) for s in range(m)])
         ).alias("s", "v"),
-    )
-    init = subs.where(F.col(id_col) < ks).collect()
+    ).withColumn("vn", F.expr(f"sqrt({_sq_norm_lit('v', dsub)})"))
+    with _interpreted_eval(embeddings):
+        init = subs.where(F.col(id_col) < ks).collect()
     books: list[dict[int, list[float]]] = [dict() for _ in range(m)]
     for r in init:
         books[int(r["s"])][int(r[id_col])] = [float(x) for x in r["v"]]
@@ -660,23 +694,23 @@ def pq_codebooks(
         # One F.expr string per iteration (not thousands of py4j Column
         # calls); the arithmetic keeps cosine()'s fold order, so the
         # assignment values (and the SQL oracle) are bit-identical.
-        vnorm = f"sqrt({_sq_norm_lit('v', dsub)})"
         branches = []
         for s in range(m):
             cands = ", ".join(
                 f"named_struct('sc', ({_dot_lit('v', c)})"
-                f"/(({vnorm})*{math.sqrt(sum(x * x for x in c))!r}), 'nc', {-cid})"
+                f"/((vn)*{math.sqrt(sum(x * x for x in c))!r}), 'nc', {-cid})"
                 for cid, c in sorted(books[s].items())
             )
             branches.append(f"WHEN s = {s} THEN -array_max(array({cands})).nc")
         assign = F.expr("CASE " + " ".join(branches) + " END")
-        cells = (
-            subs.select(F.col("s"), assign.alias("cid"), F.col("v").alias("vv"))
-            .select("s", "cid", F.posexplode("vv").alias("pos", "val"))
-            .groupBy("s", "cid", "pos")
-            .agg(F.round(F.avg("val"), round_digits).alias("mval"))
-            .collect()
-        )
+        with _interpreted_eval(embeddings):
+            cells = (
+                subs.select(F.col("s"), assign.alias("cid"), F.col("v").alias("vv"))
+                .select("s", "cid", F.posexplode("vv").alias("pos", "val"))
+                .groupBy("s", "cid", "pos")
+                .agg(F.round(F.avg("val"), round_digits).alias("mval"))
+                .collect()
+            )
         means: dict[tuple[int, int], dict[int, float]] = {}
         for row in cells:
             means.setdefault((int(row["s"]), int(row["cid"])), {})[int(row["pos"])] = float(
