@@ -99,3 +99,18 @@ def test_ivfpq_deterministic(spark):
     q = hyperplane(3, 8)
     kw = dict(k=5, n_lists=4, n_probe=2, m=2, ks=4, n_iter=1, refine_k=30)
     assert ivfpq_topk(emb, q, **kw).collect() == ivfpq_topk(emb, q, **kw).collect()
+
+
+def test_interpreted_eval_restores_conf_on_error(spark):
+    from wpextract_spark.operators.similarity import _interpreted_eval
+
+    emb = _emb(spark, np.ones((4, 4)))
+    ws = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    fm = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    with pytest.raises(RuntimeError, match="boom"):
+        with _interpreted_eval(emb):
+            assert spark.conf.get("spark.sql.codegen.wholeStage") == "false"
+            assert spark.conf.get("spark.sql.codegen.factoryMode") == "NO_CODEGEN"
+            raise RuntimeError("boom")
+    assert spark.conf.get("spark.sql.codegen.wholeStage", "true") == ws
+    assert spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK") == fm
