@@ -274,3 +274,57 @@ class TestPipelineIntegration:
         assert got == want and len(got) == n
         # lineage committed for the WARC-fed run too
         assert job_w.metrics().agg(F.sum("n_docs")).first()[0] == n
+
+
+class TestFuzz:
+    """Property tests: the WARC codec is total, and roundtrip is exact for
+    ARBITRARY payload bytes — including payloads that contain 'WARC/',
+    CRLF runs, gzip magic, or HTTP status lines (Content-Length framing
+    must make embedded markers inert)."""
+
+    def test_roundtrip_arbitrary_payloads(self):
+        from hypothesis import given, settings, strategies as st
+
+        adversarial = st.one_of(
+            st.binary(max_size=200),
+            st.sampled_from(
+                [b"WARC/1.0\r\n", b"\r\n\r\n", b"\x1f\x8b", b"HTTP/1.1 200 OK\r\n",
+                 b"Content-Length: 0\r\n\r\n", b"\n\n", b""]
+            ),
+        )
+        payloads = st.lists(
+            st.lists(adversarial, max_size=6).map(b"".join), min_size=1, max_size=5
+        )
+
+        @given(payloads=payloads, gz=st.booleans())
+        @settings(max_examples=60, deadline=None)
+        def prop(payloads, gz):
+            pages = [
+                {"doc_id": i, "url": f"https://h/{i}", "html": p}
+                for i, p in enumerate(payloads)
+            ]
+            recs = parse_warc(build_warc(pages, gzip_members=gz))
+            assert [r["rec_type"] for r in recs] == ["warcinfo"] + ["response"] * len(pages)
+            assert [r["payload"] for r in recs[1:]] == [p["html"] for p in pages]
+            assert [r["target_uri"] for r in recs[1:]] == [p["url"] for p in pages]
+
+        prop()
+
+    def test_parser_total_on_arbitrary_bytes(self):
+        from hypothesis import given, settings, strategies as st
+
+        soup = st.one_of(
+            st.binary(max_size=300),
+            st.sampled_from(
+                [b"WARC/1.0\r\nContent-Length: 9999999\r\n\r\n", b"WARC/",
+                 b"\x1f\x8b\x08\x00junk", b"WARC/1.0\nContent-Length: -5\n\n"]
+            ),
+        )
+
+        @given(blob=st.lists(soup, max_size=8).map(b"".join))
+        @settings(max_examples=80, deadline=None)
+        def prop(blob):
+            recs = parse_warc(blob)  # must never raise
+            assert isinstance(recs, list)
+
+        prop()
