@@ -402,7 +402,19 @@ def semantic_dedup(
     rk = F.row_number().over(
         Window.partitionBy("cluster_id").orderBy(F.desc("cos_c"), F.asc(id_col))
     )
-    ranked = assigned.withColumn("rk", rk)
+    # The returned plan reads `ranked` three times (both self-join sides +
+    # the final output), and each read would re-evaluate the k*dim-literal
+    # assignment expression over the corpus. Persist so assignment + rank
+    # compute once; MEMORY_AND_DISK spills at corpus scale and the cache
+    # registry lets callers drop the blocks deterministically.
+    from pyspark import StorageLevel
+
+    from wpextract_spark.operators.cache import track
+
+    ranked = track(
+        assigned.withColumn("rk", rk).persist(StorageLevel.MEMORY_AND_DISK),
+        "semantic_dedup",
+    )
     verified = ranked if max_cluster is None else ranked.where(F.col("rk") <= max_cluster)
     a = verified.alias("a")
     b = verified.alias("b")
