@@ -2629,6 +2629,49 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_dedup(docs.select("doc_id", url.alias("url")))
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl snapshot delta (operators/snapshot.py): documents is the old
+    snapshot; the new snapshot derives deterministically — docs with
+    doc_id % 13 == 0 vanish (removed), % 7 == 0 get edited text (changed),
+    and a shifted-id cohort appears (added). One full-outer join on
+    uniform ids moving only (id, md5) pairs. The oracle restates the same
+    derivation and join."""
+    from wpextract_spark.operators.snapshot import snapshot_diff
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    new = docs.where(F.col("doc_id") % 13 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" [edited]"))
+        ).otherwise(F.col("text")).alias("text"),
+    ).unionAll(
+        docs.where(F.col("doc_id") % 11 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    return snapshot_diff(docs, new, id_col="doc_id")
+
+
+ORACLE_SNAPSHOT_DIFF = """
+WITH old AS (
+  SELECT doc_id, md5(text) AS old_fp FROM documents),
+new AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 7 = 0 THEN text || ' [edited]' ELSE text END)
+           AS new_fp
+  FROM documents WHERE doc_id % 13 <> 0
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, md5(text) AS new_fp
+  FROM documents WHERE doc_id % 11 = 0)
+SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id, old_fp, new_fp,
+       CASE WHEN old_fp IS NULL THEN 'added'
+            WHEN new_fp IS NULL THEN 'removed'
+            WHEN old_fp <> new_fp THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+"""
+
+
 def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget corpus mixing (operators/sampling.py:source_mix):
     per-source keep rates min(1, budget/total_words) realized through the
@@ -3168,6 +3211,7 @@ QUERIES = {
     "q_url_filter": q_url_filter,  # new in round 4 — needs a driver row
     "q_chunk_documents": q_chunk_documents,  # new in round 4 — needs a driver row
     "q_source_mix": q_source_mix,  # new in round 4 — needs a driver row
+    "q_snapshot_diff": q_snapshot_diff,  # new in round 4 — needs a driver row
     "q_line_dedup": q_line_dedup,
     "q_pii_scrub": q_pii_scrub,
     "q_c4_filter": q_c4_filter,
@@ -3298,6 +3342,7 @@ ORACLES = {
     "q_url_filter": ORACLE_URL_FILTER,
     "q_chunk_documents": ORACLE_CHUNK_DOCUMENTS,
     "q_source_mix": ORACLE_SOURCE_MIX,
+    "q_snapshot_diff": ORACLE_SNAPSHOT_DIFF,
     "q_audio_meta": ORACLE_AUDIO_META,
     "q_frame_sample": ORACLE_FRAME_SAMPLE,
     "q_pdf_roundtrip": ORACLE_PDF_ROUNDTRIP,
