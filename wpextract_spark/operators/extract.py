@@ -322,3 +322,54 @@ def resolve_candidates_udf():
         return pd.DataFrame(rows, columns=["exact", "heuristic"])
 
     return _candidates
+
+
+PAGE_META_RESULT_TYPE = StructType(
+    [
+        StructField("title", StringType()),
+        StructField("description", StringType()),
+        StructField("og_title", StringType()),
+        StructField("og_image", StringType()),
+        StructField("canonical", StringType()),
+        StructField("robots_noindex", BooleanType()),
+        StructField("robots_nofollow", BooleanType()),
+        StructField("lang", StringType()),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def page_meta_udf():
+    """(html) -> head-metadata struct: title, description, Open Graph,
+    canonical URL, robots directives, declared lang.
+
+    The crawl-triage stage of the extraction tier: these fields feed quality
+    filters (title/description), URL dedup (canonical), retention gates
+    (robots), and language routing (lang) *before* the heavier content kernel
+    runs — so at 100 TB this UDF sits on the first, widest scan and the
+    robots/lang filters it enables prune the expensive stages' input. Same
+    quarantine contract as the sibling kernel UDFs (row-level ``error``,
+    never a task failure).
+    """
+    from wpextract_spark.kernel.pagemeta import META_FIELDS, extract_page_meta
+
+    _cols = META_FIELDS + ["error"]
+    _null_row = dict.fromkeys(_cols)
+
+    @F.pandas_udf(PAGE_META_RESULT_TYPE)
+    def _page_meta(html: pd.Series) -> pd.DataFrame:
+        rows = []
+        for doc_html in html:
+            if doc_html is None:
+                rows.append(_null_row)
+                continue
+            try:
+                row = extract_page_meta(parse_html(doc_html))
+                row["error"] = None
+            except Exception as exc:  # quarantine, never fail the task
+                row = dict(_null_row)
+                row["error"] = f"{type(exc).__name__}: {exc}"[:500]
+            rows.append(row)
+        return pd.DataFrame(rows, columns=_cols)
+
+    return _page_meta

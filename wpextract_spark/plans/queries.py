@@ -157,6 +157,130 @@ FROM documents
 """
 
 
+def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation over the internal-link graph: the classic
+    web-scale "anchor file" (per-target link counts + dominant anchor),
+    built from REAL kernel link extraction on constructed pages.
+
+    100-TB shape: ``operators/anchors.py`` — two chained hash aggs, the
+    first keyed on (target, anchor) so mega-target skew is diluted across
+    anchor strings before the target-keyed stage runs.
+    """
+    from wpextract_spark.operators.anchors import anchor_text_agg
+
+    docs = _t(spark, sf_dir, "documents")
+    n_int = (F.col("doc_id") % 3).cast("int")
+    links = F.when(n_int < 1, F.lit("")).otherwise(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.sequence(F.lit(1), n_int),
+                lambda i: F.concat(
+                    F.lit('<a href="/p/'),
+                    ((F.col("doc_id") + i) % 40).cast("string"),
+                    F.lit('">t'),
+                    ((F.col("doc_id") + 2 * i) % 5).cast("string"),
+                    F.lit("</a>"),
+                ),
+            ),
+        )
+    )
+    html = F.concat(F.lit("<p>x</p>"), links)
+    url = F.concat(F.lit("https://example.org/doc-"), F.col("doc_id").cast("string"), F.lit("/"))
+    res = content_extract_udf()(html, url)
+    spans = docs.select(F.explode(res["links_internal"]).alias("l")).select(
+        F.col("l.href").alias("target"), F.col("l.text").alias("anchor")
+    )
+    return anchor_text_agg(spans, "target", "anchor")
+
+
+ORACLE_ANCHOR_TEXTS = """
+WITH spans AS (
+  SELECT 'https://example.org/p/' || ((doc_id + g.i) % 40) AS target,
+         't' || ((doc_id + 2 * g.i) % 5) AS anchor
+  FROM documents, LATERAL unnest(generate_series(1, doc_id % 3)) AS g(i)
+),
+t1 AS (SELECT target, anchor, count(*) AS text_cnt FROM spans GROUP BY 1, 2),
+ranked AS (
+  SELECT target, anchor, text_cnt,
+         row_number() OVER (PARTITION BY target
+                            ORDER BY text_cnt DESC, anchor DESC) AS rn,
+         CAST(sum(text_cnt) OVER (PARTITION BY target) AS BIGINT) AS n_links,
+         count(*) OVER (PARTITION BY target) AS n_texts
+  FROM t1)
+SELECT target, n_links, n_texts,
+       anchor AS top_text, text_cnt AS top_text_cnt
+FROM ranked WHERE rn = 1
+"""
+
+
+def q_page_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-metadata extraction (title / description / Open Graph /
+    canonical / robots / declared lang) via the real DOM kernel on
+    constructed pages — the crawl-triage stage that gates retention and
+    routes languages before the heavy content kernel runs."""
+    from wpextract_spark.operators.extract import page_meta_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    robots = (
+        F.when(did % 4 == 0, F.lit('<meta name="robots" content="noindex, follow">'))
+        .when(did % 4 == 1, F.lit('<meta name="robots" content="none">'))
+        .when(did % 4 == 2, F.lit('<meta name="robots" content="index, NOFOLLOW">'))
+        .otherwise(F.lit(""))
+    )
+    canonical = F.when(
+        did % 2 == 0,
+        F.concat(
+            F.lit('<link rel="canonical" href="https://example.org/c/'),
+            did.cast("string"),
+            F.lit('/">'),
+        ),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit('<html lang="'),
+        F.col("lang"),
+        F.lit('"><head><title>Doc  '),  # double space: title squash is real
+        did.cast("string"),
+        F.lit("</title>"),
+        F.lit('<meta name="description" content="d'),
+        (did % 6).cast("string"),
+        F.lit('">'),
+        F.lit('<meta property="og:title" content="OG '),
+        did.cast("string"),
+        F.lit('">'),
+        canonical,
+        robots,
+        F.lit("</head><body><p>x</p></body></html>"),
+    )
+    meta = page_meta_udf()(html)
+    return docs.select(
+        "doc_id",
+        meta["title"].alias("title"),
+        meta["description"].alias("description"),
+        meta["og_title"].alias("og_title"),
+        meta["canonical"].alias("canonical"),
+        meta["robots_noindex"].alias("robots_noindex"),
+        meta["robots_nofollow"].alias("robots_nofollow"),
+        meta["lang"].alias("decl_lang"),
+    )
+
+
+ORACLE_PAGE_METADATA = """
+SELECT doc_id,
+       'Doc ' || doc_id AS title,
+       'd' || (doc_id % 6) AS description,
+       'OG ' || doc_id AS og_title,
+       CASE WHEN doc_id % 2 = 0
+            THEN 'https://example.org/c/' || doc_id || '/'
+            ELSE NULL END AS canonical,
+       doc_id % 4 IN (0, 1) AS robots_noindex,
+       doc_id % 4 IN (1, 2) AS robots_nofollow,
+       lang AS decl_lang
+FROM documents
+"""
+
+
 def q_extract_locale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-locale sniffing with the excluded-segment and normalization rules."""
     docs = _t(spark, sf_dir, "documents")
@@ -3212,6 +3336,8 @@ QUERIES = {
     "q_chunk_documents": q_chunk_documents,  # new in round 4 — needs a driver row
     "q_source_mix": q_source_mix,  # new in round 4 — needs a driver row
     "q_snapshot_diff": q_snapshot_diff,  # new in round 4 — needs a driver row
+    "q_anchor_texts": q_anchor_texts,  # new in round 4 — needs a driver row
+    "q_page_metadata": q_page_metadata,  # new in round 4 — needs a driver row
     "q_line_dedup": q_line_dedup,
     "q_pii_scrub": q_pii_scrub,
     "q_c4_filter": q_c4_filter,
@@ -3343,6 +3469,8 @@ ORACLES = {
     "q_chunk_documents": ORACLE_CHUNK_DOCUMENTS,
     "q_source_mix": ORACLE_SOURCE_MIX,
     "q_snapshot_diff": ORACLE_SNAPSHOT_DIFF,
+    "q_anchor_texts": ORACLE_ANCHOR_TEXTS,
+    "q_page_metadata": ORACLE_PAGE_METADATA,
     "q_audio_meta": ORACLE_AUDIO_META,
     "q_frame_sample": ORACLE_FRAME_SAMPLE,
     "q_pdf_roundtrip": ORACLE_PDF_ROUNDTRIP,
