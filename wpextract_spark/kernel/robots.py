@@ -1,0 +1,92 @@
+"""robots.txt parsing and matching (RFC 9309, the Robots Exclusion Protocol).
+
+A compliant crawl pipeline must evaluate every candidate URL against its
+host's robots.txt before fetch — and a *retention* pipeline re-evaluates at
+curation time (pages whose host has since disallowed crawling get dropped).
+This kernel parses the file once per host; rule evaluation then happens
+either here (full wildcard support) or JVM-side in ``operators/robots.py``
+(prefix rules — the overwhelmingly common case — as pure column
+expressions over the parsed rule array).
+
+Matching rules (RFC 9309 §2.2):
+* groups are selected by user-agent product token — exact (case-insensitive)
+  match wins over ``*``; adjacent ``User-agent`` lines share one group;
+* the rule with the longest matched pattern wins; on a length tie, allow
+  wins over disallow;
+* an empty ``Disallow:`` matches nothing; no matching rule means allowed;
+* ``*`` in a pattern matches any char run; ``$`` anchors the end.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import NamedTuple, Optional
+
+
+class RobotsRule(NamedTuple):
+    allow: bool
+    pattern: str
+
+
+def parse_robots(text: str, agent: str = "*") -> list[RobotsRule]:
+    """Rules of the group governing ``agent`` (RFC group selection)."""
+    agent = agent.lower()
+    groups: dict[str, list[RobotsRule]] = {}
+    current: list[str] = []
+    rules_seen_since_agent = True  # adjacent User-agent lines share a group
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        field, _, value = line.partition(":")
+        field = field.strip().lower()
+        value = value.strip()
+        if field == "user-agent":
+            if rules_seen_since_agent:
+                current = []
+                rules_seen_since_agent = False
+            groups.setdefault(value.lower(), current)
+        elif field in ("allow", "disallow"):
+            rules_seen_since_agent = True
+            if value:  # empty Disallow matches nothing — drop it
+                current.append(RobotsRule(field == "allow", value))
+        else:  # sitemap, crawl-delay, unknown fields — not rules
+            rules_seen_since_agent = True
+    if agent in groups:
+        return groups[agent]
+    return groups.get("*", [])
+
+
+def _pattern_regex(pattern: str) -> str:
+    # '*' -> any run; trailing '$' -> end anchor; everything else literal.
+    anchored = pattern.endswith("$")
+    if anchored:
+        pattern = pattern[:-1]
+    body = ".*".join(re.escape(part) for part in pattern.split("*"))
+    return "^" + body + ("$" if anchored else "")
+
+
+def match_len(pattern: str, path: str) -> Optional[int]:
+    """Length of ``pattern`` if it matches ``path``, else None.
+
+    RFC "longest match" counts the pattern's octets (wildcards included),
+    which is what real implementations (e.g. Googlebot's published matcher)
+    compare — not the matched span length.
+    """
+    if "*" not in pattern and "$" not in pattern:
+        return len(pattern) if path.startswith(pattern) else None
+    return len(pattern) if re.match(_pattern_regex(pattern), path) else None
+
+
+def is_allowed(rules: list[RobotsRule], path: str) -> bool:
+    """Longest-match-wins evaluation; allow wins ties; default allow."""
+    best: tuple[int, bool] = (-1, True)
+    for rule in rules:
+        length = match_len(rule.pattern, path)
+        if length is None:
+            continue
+        # (len, allow) tuple compare: longer wins; same len -> allow(True)
+        # sorts above disallow(False).
+        if (length, rule.allow) > best:
+            best = (length, rule.allow)
+    return best[1]

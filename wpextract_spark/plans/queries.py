@@ -281,6 +281,135 @@ FROM documents
 """
 
 
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 robots.txt retention check: parse each host's robots.txt
+    once (Arrow UDF over the 7-row host table, broadcast), evaluate every
+    page path JVM-side with longest-match-wins / allow-wins-ties semantics.
+    Hosts and paths are constructed so every RFC behavior — wildcard,
+    end-anchor, group selection, adjacent agents, empty Disallow, length
+    tie — is exercised, and the verdict has a closed form over doc_id."""
+    from wpextract_spark.operators.robots import (
+        parse_robots_rules_udf,
+        robots_allowed,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    host = F.concat(F.lit("h"), (did % 7).cast("string"))
+    path = (
+        F.when(did % 5 == 0, F.concat(F.lit("/private/doc-"), did.cast("string")))
+        .when(did % 5 == 1, F.concat(F.lit("/private/pub/doc-"), did.cast("string")))
+        .when(did % 5 == 2, F.concat(F.lit("/doc-"), did.cast("string"), F.lit(".pdf")))
+        .when(did % 5 == 3, F.concat(F.lit("/tmp/doc-"), did.cast("string")))
+        .otherwise(F.concat(F.lit("/a/doc-"), did.cast("string")))
+    )
+    pages = docs.select("doc_id", host.alias("host"), path.alias("path"))
+    hv = F.col("id")
+    robots_txt = (
+        F.when(hv == 0, F.lit("User-agent: *\nDisallow: /private/\nAllow: /private/pub/"))
+        .when(hv == 1, F.lit("User-agent: *\nDisallow: /*.pdf$\nDisallow: /tmp*"))
+        .when(hv == 2, F.lit("User-agent: *\nDisallow: /"))
+        .when(hv == 3, F.lit("# no rules\nSitemap: https://example.org/sitemap.xml"))
+        .when(
+            hv == 4,
+            F.lit(
+                "User-agent: specialbot\nDisallow: /special-only\n\n"
+                "User-agent: otherbot\nUser-agent: *\nAllow: /a\nDisallow: /"
+            ),
+        )
+        .when(hv == 5, F.lit("User-agent: *\nDisallow:"))
+        .otherwise(F.lit("User-agent: *\nAllow: /private/\nDisallow: /private/"))
+    )
+    robots = spark.range(7).select(
+        F.concat(F.lit("h"), hv.cast("string")).alias("host"),
+        robots_txt.alias("robots_txt"),
+    )
+    rules = robots.select(
+        "host", parse_robots_rules_udf()(F.col("robots_txt")).alias("rules")
+    )
+    return pages.join(F.broadcast(rules), "host").select(
+        "doc_id",
+        "host",
+        "path",
+        robots_allowed(F.col("rules"), F.col("path")).alias("allowed"),
+    )
+
+
+# Verdict closed form: h2 blocks all; h0 blocks only /private/ (path 0 —
+# path 1's longer Allow overrides); h1 blocks the *.pdf$ and /tmp* paths;
+# h4's star group is Allow /a + Disallow /, so only path 4 survives; h3
+# (no rules), h5 (empty Disallow), h6 (allow wins the length tie) keep all.
+ORACLE_ROBOTS_FILTER = """
+SELECT doc_id,
+       'h' || (doc_id % 7) AS host,
+       CASE doc_id % 5
+            WHEN 0 THEN '/private/doc-' || doc_id
+            WHEN 1 THEN '/private/pub/doc-' || doc_id
+            WHEN 2 THEN '/doc-' || doc_id || '.pdf'
+            WHEN 3 THEN '/tmp/doc-' || doc_id
+            ELSE '/a/doc-' || doc_id END AS path,
+       CASE doc_id % 7
+            WHEN 2 THEN FALSE
+            WHEN 0 THEN doc_id % 5 <> 0
+            WHEN 1 THEN doc_id % 5 NOT IN (2, 3)
+            WHEN 4 THEN doc_id % 5 = 4
+            ELSE TRUE END AS allowed
+FROM documents
+"""
+
+
+def q_redirect_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution by pointer doubling: descending chains
+    (c<did> -> c<did-1>, terminal at multiples of 10, so hops = did % 10)
+    plus 4-cycles in a disjoint namespace (y<4k..4k+3>), which must come
+    back unresolved. The oracle walks the same edge table independently
+    with a recursive CTE — construction shared, resolution independent."""
+    from wpextract_spark.operators.redirects import resolve_redirects
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    chain = docs.where(did % 10 != 0).select(
+        F.concat(F.lit("c"), did.cast("string")).alias("src"),
+        F.concat(F.lit("c"), (did - 1).cast("string")).alias("dst"),
+    )
+    cycle = docs.select(
+        F.concat(F.lit("y"), did.cast("string")).alias("src"),
+        F.concat(F.lit("y"), (did - did % 4 + (did + 1) % 4).cast("string")).alias(
+            "dst"
+        ),
+    )
+    return resolve_redirects(chain.unionAll(cycle))
+
+
+ORACLE_REDIRECT_CHAINS = """
+WITH RECURSIVE edges AS (
+  SELECT 'c' || doc_id AS src, 'c' || (doc_id - 1) AS dst
+  FROM documents WHERE doc_id % 10 <> 0
+  UNION ALL
+  SELECT 'y' || doc_id, 'y' || (doc_id - doc_id % 4 + (doc_id + 1) % 4)
+  FROM documents
+),
+walk AS (
+  SELECT src, dst AS cur, 1 AS hops FROM edges
+  UNION ALL
+  SELECT w.src, e.dst, w.hops + 1
+  FROM walk w JOIN edges e ON w.cur = e.src
+  WHERE w.hops < 64
+),
+last AS (
+  SELECT src, cur, hops,
+         row_number() OVER (PARTITION BY src ORDER BY hops DESC) AS rn
+  FROM walk
+)
+SELECT l.src,
+       CASE WHEN t.src IS NULL THEN l.cur END AS final_url,
+       CASE WHEN t.src IS NULL THEN l.hops END AS hops,
+       t.src IS NULL AS resolved
+FROM last l LEFT JOIN (SELECT DISTINCT src FROM edges) t ON l.cur = t.src
+WHERE l.rn = 1
+"""
+
+
 def q_extract_locale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-locale sniffing with the excluded-segment and normalization rules."""
     docs = _t(spark, sf_dir, "documents")
@@ -3322,6 +3451,8 @@ QUERIES = {
     # Queries with the least driver-green history are listed first so every
     # registry entry accumulates hard-signal rows; the 3x-green basics sit at
     # the tail (they are also pinned by the pytest gate / byte-parity e2e).
+    "q_robots_filter": q_robots_filter,  # new in round 4 — needs a driver row
+    "q_redirect_chains": q_redirect_chains,  # new in round 4 — needs a driver row
     "q_warc_extract": q_warc_extract,  # new in round 4 — needs a driver row
     "q_jpeg_pixels": q_jpeg_pixels,  # new in round 4 — needs a driver row
     "q_bpe_encode": q_bpe_encode,  # new in round 4 — needs a driver row
@@ -3471,6 +3602,8 @@ ORACLES = {
     "q_snapshot_diff": ORACLE_SNAPSHOT_DIFF,
     "q_anchor_texts": ORACLE_ANCHOR_TEXTS,
     "q_page_metadata": ORACLE_PAGE_METADATA,
+    "q_robots_filter": ORACLE_ROBOTS_FILTER,
+    "q_redirect_chains": ORACLE_REDIRECT_CHAINS,
     "q_audio_meta": ORACLE_AUDIO_META,
     "q_frame_sample": ORACLE_FRAME_SAMPLE,
     "q_pdf_roundtrip": ORACLE_PDF_ROUNDTRIP,
