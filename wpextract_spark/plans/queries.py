@@ -410,6 +410,99 @@ WHERE l.rn = 1
 """
 
 
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode canonicalization: NFC + typographic-punctuation fold +
+    zero-width/control strip + horizontal-whitespace collapse over text
+    decorated with every dirty-web-text species (curly quotes, combining
+    accents, NBSP, BEL, ZWSP, CRLF, VT). The oracle is an independent
+    DuckDB reimplementation (nfc_normalize/translate/regexp chains), not a
+    restated construction."""
+    from wpextract_spark.operators.textnorm import normalize_text_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    deco = (
+        F.when(did % 6 == 0, F.lit("“Quo’s” – café — A B"))
+        .when(did % 6 == 1, F.lit("xy​ z\t\tw"))
+        .when(did % 6 == 2, F.lit("wait… café ‘q’"))  # decomposed e+U+0301
+        .when(did % 6 == 3, F.lit("  lead  trail  "))
+        .when(did % 6 == 4, F.lit("line1\r\n  line23"))
+        .otherwise(F.lit("plain"))
+    )
+    dirty = F.concat(F.col("text"), F.lit(" "), deco)
+    return docs.select("doc_id", normalize_text_udf()(dirty).alias("clean"))
+
+
+ORACLE_NORMALIZE_TEXT = """
+WITH dirty AS (
+  SELECT doc_id,
+         text || ' ' || CASE doc_id % 6
+           WHEN 0 THEN '“Quo’s” – café — A B'
+           WHEN 1 THEN 'x' || chr(7) || 'y​ z' || chr(9) || chr(9) || 'w'
+           WHEN 2 THEN 'wait… cafe' || chr(769) || ' ‘q’'
+           WHEN 3 THEN '  lead  trail  '
+           WHEN 4 THEN 'line1' || chr(13) || chr(10) || '  line2' || chr(11) || '3'
+           ELSE 'plain' END AS s
+  FROM documents)
+SELECT doc_id,
+       trim(regexp_replace(
+         regexp_replace(
+           translate(replace(nfc_normalize(s), '…', '...'),
+                     ' ‘’“”–—​‌‍﻿',
+                     ' ''''""--'),
+           '[\\x00-\\x08\\x0e-\\x1f\\x7f]', '', 'g'),
+         '[ \\t\\r\\f\\v]+', ' ', 'g')) AS clean
+FROM dirty
+"""
+
+
+def q_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style dedup keys: two surface variants per document — one
+    accented/lowercase, one shouting with extra punctuation and an NBSP —
+    must collapse to ONE key per document (case/accent/punct/digit
+    invariance), then a JVM groupBy turns keys into dedup verdicts. The
+    oracle rebuilds the key with strip_accents/lower/regexp chains."""
+    from wpextract_spark.operators.textnorm import dedup_key_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    v0 = docs.select(
+        (did * 2).alias("vid"),
+        F.concat(F.lit("élève: "), F.col("text")).alias("s"),
+    )
+    v1 = docs.select(
+        (did * 2 + 1).alias("vid"),
+        F.concat(
+            F.lit("ELEVE "), F.upper(F.col("text")), F.lit(" !! ")
+        ).alias("s"),
+    )
+    keyed = v0.unionAll(v1).select(
+        "vid", dedup_key_udf()(F.col("s")).alias("dkey")
+    )
+    return keyed.groupBy("dkey").agg(
+        F.count("*").alias("n_docs"), F.min("vid").alias("keep_id")
+    )
+
+
+ORACLE_DEDUP_KEYS = """
+WITH variants AS (
+  SELECT doc_id * 2 AS vid, 'élève: ' || text AS s FROM documents
+  UNION ALL
+  SELECT doc_id * 2 + 1, 'ELEVE ' || upper(text) || ' !! ' FROM documents
+),
+keyed AS (
+  SELECT vid,
+         trim(regexp_replace(regexp_replace(regexp_replace(
+           lower(strip_accents(s)),
+           '[0-9]', '0', 'g'),
+           '[^a-z0 \\t\\n\\r\\f\\v]', '', 'g'),
+           '[ \\t\\n\\r\\f\\v]+', ' ', 'g')) AS dkey
+  FROM variants)
+SELECT dkey, count(*) AS n_docs, min(vid) AS keep_id
+FROM keyed GROUP BY dkey
+"""
+
+
 def q_extract_locale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-locale sniffing with the excluded-segment and normalization rules."""
     docs = _t(spark, sf_dir, "documents")
@@ -3453,6 +3546,8 @@ QUERIES = {
     # the tail (they are also pinned by the pytest gate / byte-parity e2e).
     "q_robots_filter": q_robots_filter,  # new in round 4 — needs a driver row
     "q_redirect_chains": q_redirect_chains,  # new in round 4 — needs a driver row
+    "q_normalize_text": q_normalize_text,  # new in round 4 — needs a driver row
+    "q_dedup_keys": q_dedup_keys,  # new in round 4 — needs a driver row
     "q_warc_extract": q_warc_extract,  # new in round 4 — needs a driver row
     "q_jpeg_pixels": q_jpeg_pixels,  # new in round 4 — needs a driver row
     "q_bpe_encode": q_bpe_encode,  # new in round 4 — needs a driver row
@@ -3604,6 +3699,8 @@ ORACLES = {
     "q_page_metadata": ORACLE_PAGE_METADATA,
     "q_robots_filter": ORACLE_ROBOTS_FILTER,
     "q_redirect_chains": ORACLE_REDIRECT_CHAINS,
+    "q_normalize_text": ORACLE_NORMALIZE_TEXT,
+    "q_dedup_keys": ORACLE_DEDUP_KEYS,
     "q_audio_meta": ORACLE_AUDIO_META,
     "q_frame_sample": ORACLE_FRAME_SAMPLE,
     "q_pdf_roundtrip": ORACLE_PDF_ROUNDTRIP,
