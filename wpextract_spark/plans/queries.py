@@ -503,6 +503,47 @@ FROM keyed GROUP BY dkey
 """
 
 
+def q_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding repair: UTF-8-decoded-as-cp1252 mojibake unwound (single and
+    double), with the two conservative negative controls — clean accented
+    text never touched, and a stray € (invalid as a UTF-8 continuation
+    start) aborting the whole-string repair. Oracle restates the known
+    repaired forms of the constructed corruption."""
+    from wpextract_spark.operators.encoding import fix_mojibake_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    deco = (
+        F.when(did % 6 == 0, F.lit("cafÃ© crawl"))
+        .when(did % 6 == 1, F.lit("ÃƒÂ© twice"))
+        .when(did % 6 == 2, F.lit("déjà vu"))
+        .when(did % 6 == 3, F.lit("dealâ€”done"))
+        .when(did % 6 == 4, F.lit("€99 caffÃ¨"))
+        .otherwise(F.lit("plain ascii"))
+    )
+    dirty = F.concat(F.col("text"), F.lit(" "), deco)
+    res = fix_mojibake_udf()(dirty)
+    return docs.select(
+        "doc_id",
+        res["fixed"].alias("fixed"),
+        res["changed"].alias("changed"),
+    )
+
+
+ORACLE_FIX_MOJIBAKE = """
+SELECT doc_id,
+       text || ' ' || CASE doc_id % 6
+         WHEN 0 THEN 'café crawl'
+         WHEN 1 THEN 'é twice'
+         WHEN 2 THEN 'déjà vu'
+         WHEN 3 THEN 'deal—done'
+         WHEN 4 THEN '€99 caffÃ¨'
+         ELSE 'plain ascii' END AS fixed,
+       doc_id % 6 IN (0, 1, 3) AS changed
+FROM documents
+"""
+
+
 def q_extract_locale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-locale sniffing with the excluded-segment and normalization rules."""
     docs = _t(spark, sf_dir, "documents")
@@ -3548,6 +3589,7 @@ QUERIES = {
     "q_redirect_chains": q_redirect_chains,  # new in round 4 — needs a driver row
     "q_normalize_text": q_normalize_text,  # new in round 4 — needs a driver row
     "q_dedup_keys": q_dedup_keys,  # new in round 4 — needs a driver row
+    "q_fix_mojibake": q_fix_mojibake,  # new in round 4 — needs a driver row
     "q_warc_extract": q_warc_extract,  # new in round 4 — needs a driver row
     "q_jpeg_pixels": q_jpeg_pixels,  # new in round 4 — needs a driver row
     "q_bpe_encode": q_bpe_encode,  # new in round 4 — needs a driver row
@@ -3701,6 +3743,7 @@ ORACLES = {
     "q_redirect_chains": ORACLE_REDIRECT_CHAINS,
     "q_normalize_text": ORACLE_NORMALIZE_TEXT,
     "q_dedup_keys": ORACLE_DEDUP_KEYS,
+    "q_fix_mojibake": ORACLE_FIX_MOJIBAKE,
     "q_audio_meta": ORACLE_AUDIO_META,
     "q_frame_sample": ORACLE_FRAME_SAMPLE,
     "q_pdf_roundtrip": ORACLE_PDF_ROUNDTRIP,
