@@ -373,3 +373,30 @@ def page_meta_udf():
         return pd.DataFrame(rows, columns=_cols)
 
     return _page_meta
+
+
+def markdown_udf():
+    """(html) -> structure-preserving Markdown of the page body.
+
+    The "keep layout tokens" alternative to flat text extraction: headings,
+    lists, tables, code blocks, links and emphasis survive as Markdown
+    (kernel/markdown.py), which downstream tokenization treats as cheap
+    structure signal. Run it on the content subtree the boilerplate strip /
+    main-content heuristic selects. Quarantine contract: unparseable rows
+    yield null, never a task failure.
+    """
+    from wpextract_spark.kernel.markdown import render_markdown
+
+    @F.pandas_udf(StringType())
+    def _markdown(html: pd.Series) -> pd.Series:
+        def one(doc_html):
+            if doc_html is None:
+                return None
+            try:
+                return render_markdown(parse_html(doc_html))
+            except Exception:
+                return None
+
+        return html.map(one)
+
+    return _markdown

@@ -544,6 +544,70 @@ FROM documents
 """
 
 
+def q_render_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structure-preserving HTML→Markdown over the real DOM kernel:
+    headings, lists with inline emphasis, blockquotes, fenced code + hr,
+    pipe tables and links — one construction variant per feature family,
+    markdown restated closed-form in the oracle."""
+    from wpextract_spark.operators.extract import markdown_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    html = (
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit("<h2>Doc "), ds, F.lit("</h2><p>"),
+                F.col("text"), F.lit("</p>"),
+            ),
+        )
+        .when(
+            did % 5 == 1,
+            F.concat(
+                F.lit("<ul><li>item "), ds,
+                F.lit("</li><li>has <strong>bold</strong></li></ul>"),
+            ),
+        )
+        .when(
+            did % 5 == 2,
+            F.concat(
+                F.lit("<blockquote><p>"), F.col("text"),
+                F.lit("</p></blockquote>"),
+            ),
+        )
+        .when(
+            did % 5 == 3,
+            F.concat(F.lit("<pre>x = "), ds, F.lit("</pre><hr><p>done</p>")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("<table><tr><th>k</th><th>v</th></tr><tr><td>id</td><td>"),
+                ds,
+                F.lit('</td></tr></table><p>See <a href="/p/'),
+                ds, F.lit('">post '), ds, F.lit("</a>.</p>"),
+            )
+        )
+    )
+    return docs.select("doc_id", markdown_udf()(html).alias("markdown"))
+
+
+ORACLE_RENDER_MARKDOWN = """
+SELECT doc_id,
+  CASE doc_id % 5
+    WHEN 0 THEN '## Doc ' || doc_id || chr(10) || chr(10) || text
+    WHEN 1 THEN '- item ' || doc_id || chr(10) || '- has **bold**'
+    WHEN 2 THEN '> ' || text
+    WHEN 3 THEN '```' || chr(10) || 'x = ' || doc_id || chr(10) || '```'
+                || chr(10) || chr(10) || '---' || chr(10) || chr(10) || 'done'
+    ELSE '| k | v |' || chr(10) || '| --- | --- |' || chr(10)
+         || '| id | ' || doc_id || ' |' || chr(10) || chr(10)
+         || 'See [post ' || doc_id || '](/p/' || doc_id || ').'
+  END AS markdown
+FROM documents
+"""
+
+
 def q_extract_locale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-locale sniffing with the excluded-segment and normalization rules."""
     docs = _t(spark, sf_dir, "documents")
@@ -3590,6 +3654,7 @@ QUERIES = {
     "q_normalize_text": q_normalize_text,  # new in round 4 — needs a driver row
     "q_dedup_keys": q_dedup_keys,  # new in round 4 — needs a driver row
     "q_fix_mojibake": q_fix_mojibake,  # new in round 4 — needs a driver row
+    "q_render_markdown": q_render_markdown,  # new in round 4 — needs a driver row
     "q_warc_extract": q_warc_extract,  # new in round 4 — needs a driver row
     "q_jpeg_pixels": q_jpeg_pixels,  # new in round 4 — needs a driver row
     "q_bpe_encode": q_bpe_encode,  # new in round 4 — needs a driver row
@@ -3744,6 +3809,7 @@ ORACLES = {
     "q_normalize_text": ORACLE_NORMALIZE_TEXT,
     "q_dedup_keys": ORACLE_DEDUP_KEYS,
     "q_fix_mojibake": ORACLE_FIX_MOJIBAKE,
+    "q_render_markdown": ORACLE_RENDER_MARKDOWN,
     "q_audio_meta": ORACLE_AUDIO_META,
     "q_frame_sample": ORACLE_FRAME_SAMPLE,
     "q_pdf_roundtrip": ORACLE_PDF_ROUNDTRIP,
