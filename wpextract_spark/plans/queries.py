@@ -608,6 +608,63 @@ FROM documents
 """
 
 
+def q_site_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-scoped template removal: nav + footer lines stamped on every
+    page of a host get stripped; a promo line on only half the host's pages
+    (below the 0.6 document-frequency threshold) survives. The oracle
+    recomputes per-host line document frequencies independently."""
+    from wpextract_spark.operators.boilerplate import strip_site_boilerplate
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    hk = (did % 5).cast("string")
+    page_text = F.concat(
+        F.lit("NAV h"), hk, F.lit(" | home | about\n"),
+        F.when(did % 2 == 0, F.lit("PROMO banner\n")).otherwise(F.lit("")),
+        F.col("text"),
+        F.lit("\ncopyright h"), hk, F.lit(" footer"),
+    )
+    pages = docs.select(
+        "doc_id",
+        F.concat(F.lit("h"), hk).alias("host"),
+        page_text.alias("text"),
+    )
+    return strip_site_boilerplate(pages)
+
+
+ORACLE_SITE_BOILERPLATE = """
+WITH pages AS (
+  SELECT doc_id, 'h' || (doc_id % 5) AS host,
+         'NAV h' || (doc_id % 5) || ' | home | about' || chr(10) ||
+         CASE WHEN doc_id % 2 = 0 THEN 'PROMO banner' || chr(10) ELSE '' END ||
+         text || chr(10) ||
+         'copyright h' || (doc_id % 5) || ' footer' AS text
+  FROM documents),
+split AS (
+  SELECT doc_id, host, string_split(text, chr(10)) AS parts FROM pages),
+lines AS (
+  SELECT doc_id, host, g.i - 1 AS pos, parts[g.i] AS line,
+         lower(trim(parts[g.i])) AS norm
+  FROM split, LATERAL unnest(generate_series(1, len(parts))) AS g(i)),
+hp AS (SELECT host, count(*) AS n_pages FROM pages GROUP BY host),
+ldf AS (SELECT host, norm, count(DISTINCT doc_id) AS df
+        FROM lines WHERE norm <> '' GROUP BY host, norm),
+bl AS (SELECT ldf.host, norm FROM ldf JOIN hp USING (host)
+       WHERE n_pages >= 2 AND df >= n_pages * 0.6),
+kept AS (SELECT l.* FROM lines l
+         LEFT JOIN bl ON l.host = bl.host AND l.norm = bl.norm
+         WHERE bl.norm IS NULL),
+agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_clean,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id)
+SELECT p.doc_id,
+       coalesce(a.text_clean, '') AS text_clean,
+       len(string_split(p.text, chr(10))) AS n_lines,
+       coalesce(a.n_kept, 0) AS n_kept
+FROM pages p LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def q_extract_locale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-locale sniffing with the excluded-segment and normalization rules."""
     docs = _t(spark, sf_dir, "documents")
@@ -3655,6 +3712,7 @@ QUERIES = {
     "q_dedup_keys": q_dedup_keys,  # new in round 4 — needs a driver row
     "q_fix_mojibake": q_fix_mojibake,  # new in round 4 — needs a driver row
     "q_render_markdown": q_render_markdown,  # new in round 4 — needs a driver row
+    "q_site_boilerplate": q_site_boilerplate,  # new in round 4 — needs a driver row
     "q_warc_extract": q_warc_extract,  # new in round 4 — needs a driver row
     "q_jpeg_pixels": q_jpeg_pixels,  # new in round 4 — needs a driver row
     "q_bpe_encode": q_bpe_encode,  # new in round 4 — needs a driver row
@@ -3810,6 +3868,7 @@ ORACLES = {
     "q_dedup_keys": ORACLE_DEDUP_KEYS,
     "q_fix_mojibake": ORACLE_FIX_MOJIBAKE,
     "q_render_markdown": ORACLE_RENDER_MARKDOWN,
+    "q_site_boilerplate": ORACLE_SITE_BOILERPLATE,
     "q_audio_meta": ORACLE_AUDIO_META,
     "q_frame_sample": ORACLE_FRAME_SAMPLE,
     "q_pdf_roundtrip": ORACLE_PDF_ROUNDTRIP,
