@@ -665,6 +665,74 @@ FROM pages p LEFT JOIN agg a USING (doc_id)
 """
 
 
+def q_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl scheduling: change-rate estimation over a 6-run crawl
+    history with four archetypes — static page, every-run churner, one
+    mid-history change, and a single-observation newcomer — bucketed into
+    schedule tiers. Oracle recomputes the lag-based change flags
+    independently."""
+    from wpextract_spark.operators.recrawl import change_rates
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    runs = F.when(did % 4 == 3, F.sequence(F.lit(0), F.lit(0))).otherwise(
+        F.sequence(F.lit(0), F.lit(5))
+    )
+    hist = docs.select(
+        F.concat(F.lit("u"), did.cast("string")).alias("url"),
+        did.alias("did"),
+        F.explode(runs).alias("run_id"),
+    ).select(
+        "url",
+        "run_id",
+        F.when(F.col("did") % 4 == 0, F.lit("A"))
+        .when(
+            F.col("did") % 4 == 1,
+            F.concat(F.lit("r"), F.col("run_id").cast("string")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("b"), F.floor(F.col("run_id") / 3).cast("string")
+            )
+        )
+        .alias("fp"),
+    )
+    return change_rates(hist)
+
+
+ORACLE_RECRAWL_PRIORITY = """
+WITH hist AS (
+  SELECT 'u' || doc_id AS url, g.run AS run_id,
+         CASE doc_id % 4
+           WHEN 0 THEN 'A'
+           WHEN 1 THEN 'r' || g.run
+           ELSE 'b' || (g.run // 3) END AS fp
+  FROM documents,
+       LATERAL unnest(generate_series(0,
+         CASE WHEN doc_id % 4 = 3 THEN 0 ELSE 5 END)) AS g(run)),
+obs AS (
+  SELECT url, run_id,
+         CASE WHEN lag(fp) OVER w IS NULL THEN NULL
+              WHEN fp <> lag(fp) OVER w THEN 1 ELSE 0 END AS changed
+  FROM hist WINDOW w AS (PARTITION BY url ORDER BY run_id)),
+agg AS (
+  SELECT url, count(*) AS n_runs,
+         CAST(coalesce(sum(changed), 0) AS BIGINT) AS n_changes,
+         arg_max(changed, run_id) = 1 AS lc
+  FROM obs GROUP BY url)
+SELECT url, n_runs, n_changes,
+       CASE WHEN n_runs > 1
+            THEN round(n_changes * 1.0 / (n_runs - 1), 6) END AS change_rate,
+       CASE WHEN n_runs > 1 THEN lc END AS last_changed,
+       CASE WHEN n_runs <= 1 THEN 'new'
+            WHEN n_changes * 1.0 / (n_runs - 1) >= 0.5 THEN 'hot'
+            WHEN n_changes * 1.0 / (n_runs - 1) >= 0.1 THEN 'warm'
+            WHEN n_changes > 0 THEN 'cool'
+            ELSE 'static' END AS tier
+FROM agg
+"""
+
+
 def q_extract_locale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-locale sniffing with the excluded-segment and normalization rules."""
     docs = _t(spark, sf_dir, "documents")
@@ -3713,6 +3781,7 @@ QUERIES = {
     "q_fix_mojibake": q_fix_mojibake,  # new in round 4 — needs a driver row
     "q_render_markdown": q_render_markdown,  # new in round 4 — needs a driver row
     "q_site_boilerplate": q_site_boilerplate,  # new in round 4 — needs a driver row
+    "q_recrawl_priority": q_recrawl_priority,  # new in round 4 — needs a driver row
     "q_warc_extract": q_warc_extract,  # new in round 4 — needs a driver row
     "q_jpeg_pixels": q_jpeg_pixels,  # new in round 4 — needs a driver row
     "q_bpe_encode": q_bpe_encode,  # new in round 4 — needs a driver row
@@ -3869,6 +3938,7 @@ ORACLES = {
     "q_fix_mojibake": ORACLE_FIX_MOJIBAKE,
     "q_render_markdown": ORACLE_RENDER_MARKDOWN,
     "q_site_boilerplate": ORACLE_SITE_BOILERPLATE,
+    "q_recrawl_priority": ORACLE_RECRAWL_PRIORITY,
     "q_audio_meta": ORACLE_AUDIO_META,
     "q_frame_sample": ORACLE_FRAME_SAMPLE,
     "q_pdf_roundtrip": ORACLE_PDF_ROUNDTRIP,
