@@ -733,6 +733,57 @@ FROM agg
 """
 
 
+def q_incremental_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental recrawl update end-to-end: previous corpus extracted
+    from run 1 (real kernel), run 2 removes every 10th page, changes every
+    10th+1, adds a new namespace for every 10th+2 — the plan re-extracts
+    only the stale subset and carries the rest. Oracle restates the final
+    corpus (urls, md5 page fingerprints, texts) closed-form."""
+    from wpextract_spark.plans.incremental import (
+        extract_pages,
+        incremental_update,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    url1 = F.concat(F.lit("u"), ds)
+    run1 = docs.select(
+        url1.alias("url"),
+        F.concat(F.lit("<p>old "), ds, F.lit("</p>")).alias("html"),
+    )
+    kept = docs.where(did % 10 != 0).select(
+        url1.alias("url"),
+        F.when(
+            did % 10 == 1, F.concat(F.lit("<p>new "), ds, F.lit("</p>"))
+        )
+        .otherwise(F.concat(F.lit("<p>old "), ds, F.lit("</p>")))
+        .alias("html"),
+    )
+    added = docs.where(did % 10 == 2).select(
+        F.concat(F.lit("a"), ds).alias("url"),
+        F.concat(F.lit("<p>add "), ds, F.lit("</p>")).alias("html"),
+    )
+    run2 = kept.unionByName(added)
+    corpus, _diff = incremental_update(extract_pages(run1), run2)
+    return corpus
+
+
+ORACLE_INCREMENTAL_EXTRACT = """
+SELECT 'u' || doc_id AS url,
+       md5('<p>' || CASE WHEN doc_id % 10 = 1 THEN 'new' ELSE 'old' END
+           || ' ' || doc_id || '</p>') AS page_fp,
+       CASE WHEN doc_id % 10 = 1 THEN 'new' ELSE 'old' END
+           || ' ' || doc_id AS text
+FROM documents WHERE doc_id % 10 <> 0
+UNION ALL
+SELECT 'a' || doc_id,
+       md5('<p>add ' || doc_id || '</p>'),
+       'add ' || doc_id
+FROM documents WHERE doc_id % 10 = 2
+"""
+
+
 def q_extract_locale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-locale sniffing with the excluded-segment and normalization rules."""
     docs = _t(spark, sf_dir, "documents")
@@ -3782,6 +3833,7 @@ QUERIES = {
     "q_render_markdown": q_render_markdown,  # new in round 4 — needs a driver row
     "q_site_boilerplate": q_site_boilerplate,  # new in round 4 — needs a driver row
     "q_recrawl_priority": q_recrawl_priority,  # new in round 4 — needs a driver row
+    "q_incremental_extract": q_incremental_extract,  # new in round 4 — needs a driver row
     "q_warc_extract": q_warc_extract,  # new in round 4 — needs a driver row
     "q_jpeg_pixels": q_jpeg_pixels,  # new in round 4 — needs a driver row
     "q_bpe_encode": q_bpe_encode,  # new in round 4 — needs a driver row
@@ -3939,6 +3991,7 @@ ORACLES = {
     "q_render_markdown": ORACLE_RENDER_MARKDOWN,
     "q_site_boilerplate": ORACLE_SITE_BOILERPLATE,
     "q_recrawl_priority": ORACLE_RECRAWL_PRIORITY,
+    "q_incremental_extract": ORACLE_INCREMENTAL_EXTRACT,
     "q_audio_meta": ORACLE_AUDIO_META,
     "q_frame_sample": ORACLE_FRAME_SAMPLE,
     "q_pdf_roundtrip": ORACLE_PDF_ROUNDTRIP,
