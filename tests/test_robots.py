@@ -181,3 +181,46 @@ def test_null_robots_text_is_fail_open(spark):
         ).alias("allowed")
     ).collect()
     assert out[0].allowed is True
+
+
+# --- non-rule directives ----------------------------------------------------
+
+
+def test_sitemaps_are_file_global():
+    from wpextract_spark.kernel.robots import robots_directives
+
+    text = (
+        "Sitemap: https://e/a.xml\n"
+        "User-agent: x\nDisallow: /\nSitemap: https://e/b.xml\n"
+        "User-agent: *\nAllow: /\n"
+    )
+    d = robots_directives(text, "someone")
+    assert d["sitemaps"] == ["https://e/a.xml", "https://e/b.xml"]
+
+
+def test_crawl_delay_group_scoped():
+    from wpextract_spark.kernel.robots import robots_directives
+
+    text = (
+        "User-agent: FooBot\nCrawl-delay: 9\nDisallow: /f\n\n"
+        "User-agent: *\nCrawl-delay: 2.5\nDisallow: /s\n"
+    )
+    assert robots_directives(text, "foobot")["crawl_delay"] == 9.0
+    assert robots_directives(text, "other")["crawl_delay"] == 2.5
+
+
+def test_crawl_delay_malformed_and_absent():
+    from wpextract_spark.kernel.robots import robots_directives
+
+    assert robots_directives("User-agent: *\nCrawl-delay: fast")["crawl_delay"] is None
+    assert robots_directives("")["crawl_delay"] is None
+    assert robots_directives("")["sitemaps"] == []
+
+
+def test_crawl_delay_shared_by_adjacent_agents():
+    from wpextract_spark.kernel.robots import robots_directives
+
+    text = "User-agent: a\nUser-agent: b\nCrawl-delay: 3\nDisallow: /x\n"
+    assert robots_directives(text, "a")["crawl_delay"] == 3.0
+    assert robots_directives(text, "b")["crawl_delay"] == 3.0
+    assert robots_directives(text, "c")["crawl_delay"] is None

@@ -28,11 +28,21 @@ class RobotsRule(NamedTuple):
     pattern: str
 
 
-def parse_robots(text: str, agent: str = "*") -> list[RobotsRule]:
-    """Rules of the group governing ``agent`` (RFC group selection)."""
-    agent = agent.lower()
+def _parse_groups(
+    text: str,
+) -> tuple[dict[str, list[RobotsRule]], dict[str, float], list[str]]:
+    """(rule groups, crawl-delay per group, sitemap URLs).
+
+    Sitemaps are file-global (the Sitemaps protocol, not group-scoped);
+    Crawl-delay is the de-facto group-scoped extension every major crawler
+    honors.  Group bookkeeping: adjacent ``User-agent`` lines share one
+    group; any directive line ends the adjacency run.
+    """
     groups: dict[str, list[RobotsRule]] = {}
-    current: list[str] = []
+    delays: dict[str, float] = {}
+    sitemaps: list[str] = []
+    current: list[RobotsRule] = []
+    current_agents: list[str] = []
     rules_seen_since_agent = True  # adjacent User-agent lines share a group
     for raw in text.splitlines():
         line = raw.split("#", 1)[0].strip()
@@ -44,17 +54,50 @@ def parse_robots(text: str, agent: str = "*") -> list[RobotsRule]:
         if field == "user-agent":
             if rules_seen_since_agent:
                 current = []
+                current_agents = []
                 rules_seen_since_agent = False
+            current_agents.append(value.lower())
             groups.setdefault(value.lower(), current)
         elif field in ("allow", "disallow"):
             rules_seen_since_agent = True
             if value:  # empty Disallow matches nothing — drop it
                 current.append(RobotsRule(field == "allow", value))
-        else:  # sitemap, crawl-delay, unknown fields — not rules
+        elif field == "sitemap":
             rules_seen_since_agent = True
+            if value:
+                sitemaps.append(value)
+        elif field == "crawl-delay":
+            rules_seen_since_agent = True
+            try:
+                delay = float(value)
+            except ValueError:
+                continue
+            for name in current_agents:
+                delays.setdefault(name, delay)
+        else:  # unknown fields — not rules
+            rules_seen_since_agent = True
+    return groups, delays, sitemaps
+
+
+def parse_robots(text: str, agent: str = "*") -> list[RobotsRule]:
+    """Rules of the group governing ``agent`` (RFC group selection)."""
+    agent = agent.lower()
+    groups, _, _ = _parse_groups(text)
     if agent in groups:
         return groups[agent]
     return groups.get("*", [])
+
+
+def robots_directives(text: str, agent: str = "*") -> dict:
+    """Non-rule directives: ``{"sitemaps": [...], "crawl_delay": float|None}``.
+
+    ``crawl_delay`` follows the same group selection as rules (exact agent
+    match wins over ``*``; absent means no delay declared).
+    """
+    agent = agent.lower()
+    _, delays, sitemaps = _parse_groups(text)
+    delay = delays.get(agent, delays.get("*"))
+    return {"sitemaps": sitemaps, "crawl_delay": delay}
 
 
 def _pattern_regex(pattern: str) -> str:

@@ -36,13 +36,14 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BooleanType,
+    DoubleType,
     IntegerType,
     StringType,
     StructField,
     StructType,
 )
 
-from wpextract_spark.kernel.robots import parse_robots
+from wpextract_spark.kernel.robots import parse_robots, robots_directives
 
 RULES_TYPE = ArrayType(
     StructType(
@@ -112,6 +113,42 @@ def parse_robots_rules_udf(agent: str = "*"):
         return text.map(lambda value: _rule_rows(value, agent))
 
     return _parse
+
+
+DIRECTIVES_TYPE = StructType(
+    [
+        # comma-joined rather than array<string>: directive tables feed
+        # plain-column sinks/reports, and the sitemap URL list is tiny.
+        StructField("sitemaps", StringType()),
+        StructField("n_sitemaps", IntegerType()),
+        StructField("crawl_delay", DoubleType()),
+    ]
+)
+
+
+def robots_directives_udf(agent: str = "*"):
+    """(robots_txt) -> struct<sitemaps, n_sitemaps, crawl_delay> — the
+    non-rule directives a crawl scheduler consumes: sitemap discovery seeds
+    and the per-agent politeness delay. Runs over the hosts table."""
+
+    def _one(text):
+        if text is None:
+            return (None, None, None)
+        d = robots_directives(text, agent)
+        return (
+            ",".join(d["sitemaps"]) if d["sitemaps"] else None,
+            len(d["sitemaps"]),
+            d["crawl_delay"],
+        )
+
+    @F.pandas_udf(DIRECTIVES_TYPE)
+    def _directives(text: pd.Series) -> pd.DataFrame:
+        return pd.DataFrame(
+            [_one(value) for value in text],
+            columns=["sitemaps", "n_sitemaps", "crawl_delay"],
+        )
+
+    return _directives
 
 
 def robots_allowed(rules: Column, path: Column) -> Column:

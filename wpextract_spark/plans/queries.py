@@ -784,6 +784,58 @@ FROM documents WHERE doc_id % 10 = 2
 """
 
 
+def q_robots_directives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-rule robots.txt directives for the crawl scheduler: sitemap
+    discovery seeds (file-global) and the group-scoped crawl-delay, with a
+    malformed delay ignored and group selection honored."""
+    from wpextract_spark.operators.robots import robots_directives_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    txt = (
+        F.when(
+            did % 4 == 0,
+            F.lit(
+                "User-agent: *\nCrawl-delay: 1.5\nDisallow: /x\n"
+                "Sitemap: https://h0/s1.xml\nSitemap: https://h0/s2.xml"
+            ),
+        )
+        .when(
+            did % 4 == 1,
+            F.lit(
+                "User-agent: special\nCrawl-delay: 9\n\n"
+                "User-agent: *\nDisallow: /y"
+            ),
+        )
+        .when(
+            did % 4 == 2,
+            F.lit(
+                "Sitemap: https://h2/map.xml\n"
+                "User-agent: *\nCrawl-delay: fast"
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    res = robots_directives_udf()(txt)
+    return docs.select(
+        "doc_id",
+        res["sitemaps"].alias("sitemaps"),
+        res["n_sitemaps"].alias("n_sitemaps"),
+        res["crawl_delay"].alias("crawl_delay"),
+    )
+
+
+ORACLE_ROBOTS_DIRECTIVES = """
+SELECT doc_id,
+       CASE doc_id % 4
+         WHEN 0 THEN 'https://h0/s1.xml,https://h0/s2.xml'
+         WHEN 2 THEN 'https://h2/map.xml' END AS sitemaps,
+       CASE doc_id % 4 WHEN 0 THEN 2 WHEN 2 THEN 1 ELSE 0 END AS n_sitemaps,
+       CASE doc_id % 4 WHEN 0 THEN CAST(1.5 AS DOUBLE) END AS crawl_delay
+FROM documents
+"""
+
+
 def q_extract_locale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-locale sniffing with the excluded-segment and normalization rules."""
     docs = _t(spark, sf_dir, "documents")
@@ -3834,6 +3886,7 @@ QUERIES = {
     "q_site_boilerplate": q_site_boilerplate,  # new in round 4 — needs a driver row
     "q_recrawl_priority": q_recrawl_priority,  # new in round 4 — needs a driver row
     "q_incremental_extract": q_incremental_extract,  # new in round 4 — needs a driver row
+    "q_robots_directives": q_robots_directives,  # new in round 4 — needs a driver row
     "q_warc_extract": q_warc_extract,  # new in round 4 — needs a driver row
     "q_jpeg_pixels": q_jpeg_pixels,  # new in round 4 — needs a driver row
     "q_bpe_encode": q_bpe_encode,  # new in round 4 — needs a driver row
@@ -3992,6 +4045,7 @@ ORACLES = {
     "q_site_boilerplate": ORACLE_SITE_BOILERPLATE,
     "q_recrawl_priority": ORACLE_RECRAWL_PRIORITY,
     "q_incremental_extract": ORACLE_INCREMENTAL_EXTRACT,
+    "q_robots_directives": ORACLE_ROBOTS_DIRECTIVES,
     "q_audio_meta": ORACLE_AUDIO_META,
     "q_frame_sample": ORACLE_FRAME_SAMPLE,
     "q_pdf_roundtrip": ORACLE_PDF_ROUNDTRIP,
