@@ -836,6 +836,29 @@ FROM documents
 """
 
 
+def q_compression_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressibility quality signal: zlib ratio over document text with a
+    repetitive decoration on every 3rd doc (which must compress visibly
+    harder). zlib is not SQL-expressible — the driver records a rows-only
+    check; value semantics are pinned by tests/test_textstats.py on
+    known-entropy corpora."""
+    from wpextract_spark.operators.textstats import compression_signal_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    # every 3rd doc gets highly repetitive padding: its ratio must drop.
+    padded = F.when(
+        did % 3 == 0, F.concat(F.col("text"), F.repeat(F.lit(" spam"), 40))
+    ).otherwise(F.col("text"))
+    res = compression_signal_udf()(padded)
+    return docs.select(
+        "doc_id",
+        res["raw_len"].alias("raw_len"),
+        res["zlib_len"].alias("zlib_len"),
+        res["ratio"].alias("ratio"),
+    )
+
+
 def q_extract_locale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-locale sniffing with the excluded-segment and normalization rules."""
     docs = _t(spark, sf_dir, "documents")
@@ -3887,6 +3910,7 @@ QUERIES = {
     "q_recrawl_priority": q_recrawl_priority,  # new in round 4 — needs a driver row
     "q_incremental_extract": q_incremental_extract,  # new in round 4 — needs a driver row
     "q_robots_directives": q_robots_directives,  # new in round 4 — needs a driver row
+    "q_compression_signal": q_compression_signal,  # rows-only: zlib not SQL-expressible
     "q_warc_extract": q_warc_extract,  # new in round 4 — needs a driver row
     "q_jpeg_pixels": q_jpeg_pixels,  # new in round 4 — needs a driver row
     "q_bpe_encode": q_bpe_encode,  # new in round 4 — needs a driver row
