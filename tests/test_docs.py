@@ -20,6 +20,7 @@ def test_docs_exist_and_cover_the_surface():
         "index.md",
         "usage/extract.md",
         "usage/build-corpus.md",
+        "usage/recrawl.md",
         "advanced/library.md",
         "advanced/multilingual.md",
         "advanced/scale.md",
@@ -40,7 +41,11 @@ def test_library_example_is_syntactically_valid_and_names_exist():
     symbol they import must resolve."""
     import importlib
 
-    for md in ("advanced/library.md", "advanced/multilingual.md"):
+    for md in (
+        "advanced/library.md",
+        "advanced/multilingual.md",
+        "usage/recrawl.md",
+    ):
         for block in _python_blocks(DOCS / md):
             code = compile(block, md, "exec")  # syntax
             for m in re.finditer(
