@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BooleanType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -400,3 +401,56 @@ def markdown_udf():
         return html.map(one)
 
     return _markdown
+
+
+JSONLD_RESULT_TYPE = StructType(
+    [
+        StructField("types", StringType()),  # comma-joined, document order
+        StructField("n_objects", IntegerType()),
+        StructField("headline", StringType()),
+        StructField("date_published", StringType()),
+        StructField("author", StringType()),
+    ]
+)
+
+
+def jsonld_udf():
+    """(html) -> schema.org JSON-LD summary struct.
+
+    The machine-readable metadata channel: Yoast/RankMath emit JSON-LD on
+    every WordPress page, and its headline/datePublished/author fields are
+    far more reliable than visual heuristics. Malformed blocks are skipped
+    per block (never poisoning siblings); unparseable pages quarantine to
+    null fields with n_objects = 0 semantics preserved by the kernel.
+    """
+    from wpextract_spark.kernel.structdata import extract_jsonld, jsonld_summary
+
+    _null = (None, None, None, None, None)
+
+    @F.pandas_udf(JSONLD_RESULT_TYPE)
+    def _jsonld(html: pd.Series) -> pd.DataFrame:
+        rows = []
+        for doc_html in html:
+            if doc_html is None:
+                rows.append(_null)
+                continue
+            try:
+                objects = extract_jsonld(parse_html(doc_html))
+                summary = jsonld_summary(objects)
+                rows.append(
+                    (
+                        ",".join(summary["types"]) or None,
+                        len(objects),
+                        summary["headline"],
+                        summary["date_published"],
+                        summary["author"],
+                    )
+                )
+            except Exception:
+                rows.append(_null)
+        return pd.DataFrame(
+            rows,
+            columns=["types", "n_objects", "headline", "date_published", "author"],
+        )
+
+    return _jsonld

@@ -859,6 +859,83 @@ def q_compression_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jsonld_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """schema.org JSON-LD extraction: Yoast-style @graph envelope, simple
+    object with a bare-string author, a malformed block next to a valid
+    one (per-block skip), and a page with no JSON-LD at all."""
+    from wpextract_spark.operators.extract import jsonld_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    open_tag = '<script type="application/ld+json">'
+    block = (
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit(
+                    open_tag
+                    + '{"@context":"https://schema.org","@graph":['
+                    + '{"@type":"WebSite","name":"S"},'
+                    + '{"@type":"Article","headline":"Post '
+                ),
+                ds,
+                F.lit('","datePublished":"2024-01-02","author":'),
+                F.lit('{"@type":"Person","name":"Author '),
+                ds,
+                F.lit('"}}]}</script>'),
+            ),
+        )
+        .when(
+            did % 4 == 1,
+            F.concat(
+                F.lit(open_tag + '{"@type":"NewsArticle","headline":"News '),
+                ds,
+                F.lit('","author":"Jane"}</script>'),
+            ),
+        )
+        .when(
+            did % 4 == 2,
+            F.lit(
+                open_tag + "{oops</script>"
+                + open_tag + '[{"@type":"BreadcrumbList"}]</script>'
+            ),
+        )
+        .otherwise(F.lit("<script>var x=1;</script>"))
+    )
+    html = F.concat(
+        F.lit("<html><head>"), block, F.lit("</head><body><p>x</p></body></html>")
+    )
+    res = jsonld_udf()(html)
+    return docs.select(
+        "doc_id",
+        res["types"].alias("types"),
+        res["n_objects"].alias("n_objects"),
+        res["headline"].alias("headline"),
+        res["date_published"].alias("date_published"),
+        res["author"].alias("author"),
+    )
+
+
+ORACLE_JSONLD_EXTRACT = """
+SELECT doc_id,
+       CASE doc_id % 4
+         WHEN 0 THEN 'WebSite,Article'
+         WHEN 1 THEN 'NewsArticle'
+         WHEN 2 THEN 'BreadcrumbList' END AS types,
+       CASE doc_id % 4 WHEN 0 THEN 2 WHEN 1 THEN 1 WHEN 2 THEN 1
+                       ELSE 0 END AS n_objects,
+       CASE doc_id % 4
+         WHEN 0 THEN 'Post ' || doc_id
+         WHEN 1 THEN 'News ' || doc_id END AS headline,
+       CASE doc_id % 4 WHEN 0 THEN '2024-01-02' END AS date_published,
+       CASE doc_id % 4
+         WHEN 0 THEN 'Author ' || doc_id
+         WHEN 1 THEN 'Jane' END AS author
+FROM documents
+"""
+
+
 def q_extract_locale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-locale sniffing with the excluded-segment and normalization rules."""
     docs = _t(spark, sf_dir, "documents")
@@ -3911,6 +3988,7 @@ QUERIES = {
     "q_incremental_extract": q_incremental_extract,  # new in round 4 — needs a driver row
     "q_robots_directives": q_robots_directives,  # new in round 4 — needs a driver row
     "q_compression_signal": q_compression_signal,  # rows-only: zlib not SQL-expressible
+    "q_jsonld_extract": q_jsonld_extract,  # new in round 4 — needs a driver row
     "q_warc_extract": q_warc_extract,  # new in round 4 — needs a driver row
     "q_jpeg_pixels": q_jpeg_pixels,  # new in round 4 — needs a driver row
     "q_bpe_encode": q_bpe_encode,  # new in round 4 — needs a driver row
@@ -4070,6 +4148,7 @@ ORACLES = {
     "q_recrawl_priority": ORACLE_RECRAWL_PRIORITY,
     "q_incremental_extract": ORACLE_INCREMENTAL_EXTRACT,
     "q_robots_directives": ORACLE_ROBOTS_DIRECTIVES,
+    "q_jsonld_extract": ORACLE_JSONLD_EXTRACT,
     "q_audio_meta": ORACLE_AUDIO_META,
     "q_frame_sample": ORACLE_FRAME_SAMPLE,
     "q_pdf_roundtrip": ORACLE_PDF_ROUNDTRIP,
