@@ -50,40 +50,42 @@ def resolve_redirects(
         F.col(dst).alias("dst"),
         F.lit(1).cast("int").alias("hops"),
     ).localCheckpoint(eager=False)
-    # The original source-key set decides "is this URL terminal?".  It is
-    # loop-invariant; persist so the per-round probe and the final verdict
-    # reuse it instead of rescanning the input lineage.
-    sources = redirects.select(F.col(src).alias("k")).distinct().persist()
-    try:
-        for _ in range(rounds):
-            # Early exit: every row already points at a terminal.  Cyclic
-            # rows keep this probe positive, so the round bound is what
-            # stops them.
-            if mapping.join(sources, mapping["dst"] == sources["k"], "left_semi").isEmpty():
-                break
-            hop = mapping.select(
-                F.col("src").alias("h_src"),
-                F.col("dst").alias("h_dst"),
-                F.col("hops").alias("h_hops"),
-            )
-            mapping = (
-                mapping.join(hop, mapping["dst"] == hop["h_src"], "left")
-                .select(
-                    "src",
-                    F.coalesce("h_dst", "dst").alias("dst"),
-                    (F.col("hops") + F.coalesce("h_hops", F.lit(0))).alias("hops"),
-                )
-                .localCheckpoint(eager=False)
-            )
-        resolved = F.col("k").isNull()
-        return (
-            mapping.join(sources, mapping["dst"] == sources["k"], "left")
+    for _ in range(rounds):
+        hop = mapping.select(
+            F.col("src").alias("h_src"),
+            F.col("dst").alias("h_dst"),
+            F.col("hops").alias("h_hops"),
+        )
+        advanced_flag = F.col("h_dst").isNotNull().cast("int")
+        step = (
+            mapping.join(hop, mapping["dst"] == hop["h_src"], "left")
             .select(
                 "src",
-                F.when(resolved, F.col("dst")).alias("final_url"),
-                F.when(resolved, F.col("hops")).alias("hops"),
-                resolved.alias("resolved"),
+                F.coalesce("h_dst", "dst").alias("dst"),
+                (F.col("hops") + F.coalesce("h_hops", F.lit(0))).alias("hops"),
+                advanced_flag.alias("_adv"),
             )
+            .localCheckpoint(eager=False)
         )
-    finally:
-        sources.unpersist()
+        # ONE action per round: materializes the lazy checkpoint AND reads
+        # the convergence signal off the doubling join itself (no separate
+        # probe join/job).  advanced == 0 means every row already pointed
+        # at a terminal; cyclic rows advance every round, so the round
+        # bound is what stops them.
+        advanced = step.agg(F.sum("_adv")).first()[0]
+        mapping = step.drop("_adv")
+        if not advanced:
+            break
+    # Terminal = not a redirect source.  One anti-ish left join at the end;
+    # the source-key set is loop-invariant but only read here.
+    sources = redirects.select(F.col(src).alias("k")).distinct()
+    resolved = F.col("k").isNull()
+    return (
+        mapping.join(sources, mapping["dst"] == sources["k"], "left")
+        .select(
+            "src",
+            F.when(resolved, F.col("dst")).alias("final_url"),
+            F.when(resolved, F.col("hops")).alias("hops"),
+            resolved.alias("resolved"),
+        )
+    )
