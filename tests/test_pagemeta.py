@@ -106,3 +106,36 @@ class TestAnchorTextAgg:
         assert "Window" not in plan  # argmax via max(struct), not row_number
         n_exchanges = plan.count("Exchange")
         assert n_exchanges <= 2, plan
+
+
+# --- hreflang alternates ------------------------------------------------------
+
+
+def test_alternates_extraction():
+    from wpextract_spark.htmlkit import parse_html
+    from wpextract_spark.kernel.pagemeta import extract_alternates
+
+    html = (
+        '<head><link rel="alternate" hreflang="EN-us" href="https://e/en/">'
+        '<link rel="stylesheet alternate" hreflang="de" href="https://e/de/">'
+        '<link rel="alternate" hreflang="x-default" href="https://e/">'
+        '<link rel="alternate" hreflang="fr">'
+        '<link rel="alternate" type="application/rss+xml" href="/feed">'
+        "</head>"
+    )
+    got = extract_alternates(parse_html(html))
+    assert got == [
+        {"hreflang": "en-us", "href": "https://e/en/"},
+        {"hreflang": "de", "href": "https://e/de/"},  # multi-token rel
+        {"hreflang": "x-default", "href": "https://e/"},
+    ]
+
+
+def test_alternates_no_head_and_body_links_ignored():
+    from wpextract_spark.htmlkit import parse_html
+    from wpextract_spark.kernel.pagemeta import extract_alternates
+
+    assert extract_alternates(parse_html("<p>x</p>")) == []
+    # links in body are not head metadata
+    html = '<head></head><body><link rel="alternate" hreflang="de" href="u"></body>'
+    assert extract_alternates(parse_html(html)) == []

@@ -83,3 +83,31 @@ def extract_page_meta(doc: Document) -> dict[str, Any]:
         row["robots_noindex"] = bool({"noindex", "none"} & directives)
         row["robots_nofollow"] = bool({"nofollow", "none"} & directives)
     return row
+
+
+def extract_alternates(doc: Document) -> list[dict[str, Any]]:
+    """``<link rel="alternate" hreflang=...>`` pairs from the head.
+
+    The generic-web translation-discovery channel (Google's hreflang
+    protocol): WordPress multilingual plugins, and most i18n sites, declare
+    every language variant here — the generalization of the reference's
+    Polylang-picker scraping to arbitrary Common-Crawl pages. Order is
+    document order; entries missing ``href`` are dropped (nothing to link),
+    ``hreflang`` is lowercased (BCP-47 is case-insensitive), and
+    ``x-default`` passes through for the fallback-variant convention.
+    """
+    head = doc.head
+    if head is None:
+        return []
+    out: list[dict[str, Any]] = []
+    for tag in head.find_all("link"):
+        rels = (tag.get("rel") or "").lower().split()
+        if "alternate" not in rels or not tag.has_attr("hreflang"):
+            continue
+        href = (tag.get("href") or "").strip()
+        if not href:
+            continue
+        out.append(
+            {"hreflang": attr_concat(tag["hreflang"]).strip().lower(), "href": href}
+        )
+    return out

@@ -454,3 +454,37 @@ def jsonld_udf():
         )
 
     return _jsonld
+
+
+ALTERNATES_TYPE = ArrayType(
+    StructType(
+        [
+            StructField("hreflang", StringType()),
+            StructField("href", StringType()),
+        ]
+    )
+)
+
+
+def alternates_udf():
+    """(html) -> array<struct<hreflang, href>> of rel=alternate hreflang
+    links — the generic-web translation-discovery channel (hreflang
+    protocol), generalizing the reference's Polylang picker scraping to any
+    Common-Crawl page. Callers explode + join hrefs against the URL
+    registry to build cross-language edges. Quarantine: unparseable pages
+    yield an empty array."""
+    from wpextract_spark.kernel.pagemeta import extract_alternates
+
+    @F.pandas_udf(ALTERNATES_TYPE)
+    def _alternates(html: pd.Series) -> pd.Series:
+        def one(doc_html):
+            if doc_html is None:
+                return []
+            try:
+                return extract_alternates(parse_html(doc_html))
+            except Exception:
+                return []
+
+        return html.map(one)
+
+    return _alternates

@@ -936,6 +936,67 @@ FROM documents
 """
 
 
+def q_hreflang_alternates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hreflang alternate discovery (the generic-web translation channel):
+    heads carry 3 / 1 / 0 rel=alternate links per variant, mixed-case
+    hreflang lowered, bare hreflang without href dropped, non-hreflang
+    alternates (RSS) ignored. Exploded to one row per alternate."""
+    from wpextract_spark.operators.extract import alternates_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    links = (
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit('<link rel="alternate" hreflang="EN-us" href="https://e/en/doc-'),
+                ds,
+                F.lit('"><link rel="alternate" hreflang="de" href="https://e/de/doc-'),
+                ds,
+                F.lit('"><link rel="alternate" hreflang="x-default" href="https://e/doc-'),
+                ds,
+                F.lit('">'),
+            ),
+        )
+        .when(
+            did % 3 == 1,
+            F.concat(
+                F.lit('<link rel="alternate" hreflang="fr" href="https://e/fr/doc-'),
+                ds,
+                F.lit('"><link rel="alternate" hreflang="es">'),
+            ),
+        )
+        .otherwise(
+            F.lit('<link rel="alternate" type="application/rss+xml" href="https://e/feed">')
+        )
+    )
+    html = F.concat(F.lit("<html><head>"), links, F.lit("</head><body></body></html>"))
+    return docs.select(
+        "doc_id", F.explode(alternates_udf()(html)).alias("alt")
+    ).select(
+        "doc_id",
+        F.col("alt")["hreflang"].alias("hreflang"),
+        F.col("alt")["href"].alias("href"),
+    )
+
+
+ORACLE_HREFLANG_ALTERNATES = """
+SELECT doc_id, 'en-us' AS hreflang,
+       'https://e/en/doc-' || doc_id AS href
+FROM documents WHERE doc_id % 3 = 0
+UNION ALL
+SELECT doc_id, 'de', 'https://e/de/doc-' || doc_id
+FROM documents WHERE doc_id % 3 = 0
+UNION ALL
+SELECT doc_id, 'x-default', 'https://e/doc-' || doc_id
+FROM documents WHERE doc_id % 3 = 0
+UNION ALL
+SELECT doc_id, 'fr', 'https://e/fr/doc-' || doc_id
+FROM documents WHERE doc_id % 3 = 1
+"""
+
+
 def q_extract_locale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-locale sniffing with the excluded-segment and normalization rules."""
     docs = _t(spark, sf_dir, "documents")
@@ -3989,6 +4050,7 @@ QUERIES = {
     "q_robots_directives": q_robots_directives,  # new in round 4 — needs a driver row
     "q_compression_signal": q_compression_signal,  # rows-only: zlib not SQL-expressible
     "q_jsonld_extract": q_jsonld_extract,  # new in round 4 — needs a driver row
+    "q_hreflang_alternates": q_hreflang_alternates,  # new in round 4 — needs a driver row
     "q_warc_extract": q_warc_extract,  # new in round 4 — needs a driver row
     "q_jpeg_pixels": q_jpeg_pixels,  # new in round 4 — needs a driver row
     "q_bpe_encode": q_bpe_encode,  # new in round 4 — needs a driver row
@@ -4149,6 +4211,7 @@ ORACLES = {
     "q_incremental_extract": ORACLE_INCREMENTAL_EXTRACT,
     "q_robots_directives": ORACLE_ROBOTS_DIRECTIVES,
     "q_jsonld_extract": ORACLE_JSONLD_EXTRACT,
+    "q_hreflang_alternates": ORACLE_HREFLANG_ALTERNATES,
     "q_audio_meta": ORACLE_AUDIO_META,
     "q_frame_sample": ORACLE_FRAME_SAMPLE,
     "q_pdf_roundtrip": ORACLE_PDF_ROUNDTRIP,
