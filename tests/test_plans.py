@@ -193,3 +193,22 @@ def test_collocations_scans_corpus_twice(spark):
     assert not re.search(r"FileScan parquet", outer_txt)
     # exactly the two cached count tables feed everything downstream
     assert outer_txt.count("InMemoryTableScan") >= 4
+
+
+def test_redirect_loop_lineage_is_truncated(spark):
+    """Pointer doubling's scale-critical property: per-round lazy
+    checkpoints cut the lineage, so the FINAL plan contains only the
+    terminal-verdict join over a checkpointed RDD — not a chain of N
+    doubling joins growing with the round count."""
+    from wpextract_spark.operators.redirects import resolve_redirects
+
+    edges = spark.createDataFrame(
+        [(f"u{i}", f"u{i + 1}") for i in range(9)], ["src", "dst"]
+    )
+    out = resolve_redirects(edges)  # chains up to 9: several live rounds
+    plan = _plan(out)
+    # the loop result enters as a scanned checkpoint, not re-derived joins
+    assert "ExistingRDD" in plan, plan
+    # only the final verdict join (+ its AQE wrapper) may remain
+    assert plan.count("Join") <= 2, plan
+    assert {r.src: r.final_url for r in out.collect()}["u0"] == "u9"
