@@ -997,6 +997,77 @@ FROM documents WHERE doc_id % 3 = 1
 """
 
 
+def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-protocol parsing: a urlset with full and minimal entries
+    (unparseable priority -> null, loc-less entry dropped), a sitemapindex
+    child, and a non-sitemap payload contributing nothing."""
+    from wpextract_spark.operators.sitemap import sitemap_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    xml = (
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(
+                    "<urlset><url><loc>https://e/p-"
+                ),
+                ds,
+                F.lit(
+                    "?a=1&amp;b=2</loc><lastmod>2024-03-01</lastmod>"
+                    "<changefreq>daily</changefreq><priority>0.8</priority>"
+                    "</url><url><loc>https://e/q-"
+                ),
+                ds,
+                F.lit(
+                    "</loc><priority>oops</priority></url>"
+                    "<url><lastmod>2024-01-01</lastmod></url></urlset>"
+                ),
+            ),
+        )
+        .when(
+            did % 3 == 1,
+            F.concat(
+                F.lit("<sitemapindex><sitemap><loc>https://e/s-"),
+                ds,
+                F.lit(
+                    ".xml</loc><lastmod>2024-02-02</lastmod></sitemap>"
+                    "</sitemapindex>"
+                ),
+            ),
+        )
+        .otherwise(F.lit("plain text, no sitemap here"))
+    )
+    res = sitemap_udf()(xml)
+    return docs.select(
+        "doc_id", res["kind"].alias("kind"), F.explode(res["entries"]).alias("e")
+    ).select(
+        "doc_id",
+        "kind",
+        F.col("e")["loc"].alias("loc"),
+        F.col("e")["lastmod"].alias("lastmod"),
+        F.col("e")["changefreq"].alias("changefreq"),
+        F.col("e")["priority"].alias("priority"),
+    )
+
+
+ORACLE_SITEMAP_PARSE = """
+SELECT doc_id, 'urlset' AS kind,
+       'https://e/p-' || doc_id || '?a=1&b=2' AS loc,
+       '2024-03-01' AS lastmod, 'daily' AS changefreq,
+       CAST(0.8 AS DOUBLE) AS priority
+FROM documents WHERE doc_id % 3 = 0
+UNION ALL
+SELECT doc_id, 'urlset', 'https://e/q-' || doc_id, NULL, NULL, NULL
+FROM documents WHERE doc_id % 3 = 0
+UNION ALL
+SELECT doc_id, 'index', 'https://e/s-' || doc_id || '.xml',
+       '2024-02-02', NULL, NULL
+FROM documents WHERE doc_id % 3 = 1
+"""
+
+
 def q_extract_locale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-locale sniffing with the excluded-segment and normalization rules."""
     docs = _t(spark, sf_dir, "documents")
@@ -4051,6 +4122,7 @@ QUERIES = {
     "q_compression_signal": q_compression_signal,  # rows-only: zlib not SQL-expressible
     "q_jsonld_extract": q_jsonld_extract,  # new in round 4 — needs a driver row
     "q_hreflang_alternates": q_hreflang_alternates,  # new in round 4 — needs a driver row
+    "q_sitemap_parse": q_sitemap_parse,  # new in round 4 — needs a driver row
     "q_warc_extract": q_warc_extract,  # new in round 4 — needs a driver row
     "q_jpeg_pixels": q_jpeg_pixels,  # new in round 4 — needs a driver row
     "q_bpe_encode": q_bpe_encode,  # new in round 4 — needs a driver row
@@ -4212,6 +4284,7 @@ ORACLES = {
     "q_robots_directives": ORACLE_ROBOTS_DIRECTIVES,
     "q_jsonld_extract": ORACLE_JSONLD_EXTRACT,
     "q_hreflang_alternates": ORACLE_HREFLANG_ALTERNATES,
+    "q_sitemap_parse": ORACLE_SITEMAP_PARSE,
     "q_audio_meta": ORACLE_AUDIO_META,
     "q_frame_sample": ORACLE_FRAME_SAMPLE,
     "q_pdf_roundtrip": ORACLE_PDF_ROUNDTRIP,
