@@ -1068,6 +1068,56 @@ FROM documents WHERE doc_id % 3 = 1
 """
 
 
+def q_frontier_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier prioritization composing the crawl-ops signals:
+    change tiers (one variant absent -> 'new' default), per-host politeness
+    delays (broadcast; two throttled hosts), and sitemap freshness (true /
+    false / unknown). Oracle restates the score arithmetic closed-form."""
+    from wpextract_spark.operators.frontier import frontier_priority
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    urls = docs.select(
+        F.concat(F.lit("u"), ds).alias("url"),
+        F.concat(F.lit("h"), (did % 5).cast("string")).alias("host"),
+    )
+    schedule = docs.where(did % 4 != 3).select(
+        F.concat(F.lit("u"), ds).alias("url"),
+        F.when(did % 4 == 0, F.lit("hot"))
+        .when(did % 4 == 1, F.lit("warm"))
+        .otherwise(F.lit("static"))
+        .alias("tier"),
+    )
+    politeness = spark.range(2).select(
+        F.concat(F.lit("h"), F.col("id").cast("string")).alias("host"),
+        F.when(F.col("id") == 0, F.lit(1.0)).otherwise(F.lit(9.0)).alias(
+            "crawl_delay"
+        ),
+    )
+    freshness = docs.where(did % 3 != 2).select(
+        F.concat(F.lit("u"), ds).alias("url"),
+        (did % 3 == 0).alias("recently_modified"),
+    )
+    return frontier_priority(urls, schedule, politeness, freshness)
+
+
+ORACLE_FRONTIER_PRIORITY = """
+SELECT 'u' || doc_id AS url,
+       'h' || (doc_id % 5) AS host,
+       CASE doc_id % 4 WHEN 0 THEN 'hot' WHEN 1 THEN 'warm'
+                       WHEN 2 THEN 'static' ELSE 'new' END AS tier,
+       round(
+         CASE doc_id % 4 WHEN 0 THEN 1.0 WHEN 1 THEN 0.5
+                         WHEN 2 THEN 0.05 ELSE 0.8 END
+         * CASE doc_id % 5 WHEN 0 THEN 1.0 / 2.0
+                           WHEN 1 THEN 1.0 / 10.0 ELSE 1.0 END
+         + CASE WHEN doc_id % 3 = 0 THEN 0.5 ELSE 0.0 END,
+       6) AS priority
+FROM documents
+"""
+
+
 def q_extract_locale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-locale sniffing with the excluded-segment and normalization rules."""
     docs = _t(spark, sf_dir, "documents")
@@ -4123,6 +4173,7 @@ QUERIES = {
     "q_jsonld_extract": q_jsonld_extract,  # new in round 4 — needs a driver row
     "q_hreflang_alternates": q_hreflang_alternates,  # new in round 4 — needs a driver row
     "q_sitemap_parse": q_sitemap_parse,  # new in round 4 — needs a driver row
+    "q_frontier_priority": q_frontier_priority,  # new in round 4 — needs a driver row
     "q_warc_extract": q_warc_extract,  # new in round 4 — needs a driver row
     "q_jpeg_pixels": q_jpeg_pixels,  # new in round 4 — needs a driver row
     "q_bpe_encode": q_bpe_encode,  # new in round 4 — needs a driver row
@@ -4285,6 +4336,7 @@ ORACLES = {
     "q_jsonld_extract": ORACLE_JSONLD_EXTRACT,
     "q_hreflang_alternates": ORACLE_HREFLANG_ALTERNATES,
     "q_sitemap_parse": ORACLE_SITEMAP_PARSE,
+    "q_frontier_priority": ORACLE_FRONTIER_PRIORITY,
     "q_audio_meta": ORACLE_AUDIO_META,
     "q_frame_sample": ORACLE_FRAME_SAMPLE,
     "q_pdf_roundtrip": ORACLE_PDF_ROUNDTRIP,
