@@ -224,3 +224,23 @@ def test_crawl_delay_shared_by_adjacent_agents():
     assert robots_directives(text, "a")["crawl_delay"] == 3.0
     assert robots_directives(text, "b")["crawl_delay"] == 3.0
     assert robots_directives(text, "c")["crawl_delay"] is None
+
+
+def test_percent_encoded_paths_match_verbatim():
+    # RFC 9309 compares the percent-encoded octets; no decoding happens.
+    rules = parse_robots("User-agent: *\nDisallow: /a%2Fb")
+    assert not is_allowed(rules, "/a%2Fb/x")
+    assert is_allowed(rules, "/a/b/x")  # decoded form is a DIFFERENT path
+
+
+def test_filter_robots_shuffle_fallback(spark):
+    pages = spark.createDataFrame(
+        [("a.com", "/private/x", 1), ("a.com", "/ok", 2)],
+        ["host", "path", "doc_id"],
+    )
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /private/")],
+        ["host", "robots_txt"],
+    )
+    out = filter_robots_allowed(pages, robots, broadcast=False)
+    assert sorted(r.doc_id for r in out.collect()) == [2]

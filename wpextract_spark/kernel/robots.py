@@ -15,6 +15,10 @@ Matching rules (RFC 9309 §2.2):
   wins over disallow;
 * an empty ``Disallow:`` matches nothing; no matching rule means allowed;
 * ``*`` in a pattern matches any char run; ``$`` anchors the end.
+
+Paths and patterns are compared verbatim, i.e. in the percent-encoded form
+URLs arrive in (RFC 9309 §2.2.2 compares octets of the encoded form; do not
+decode before matching — ``/a%2Fb`` and ``/a/b`` are different paths).
 """
 
 from __future__ import annotations

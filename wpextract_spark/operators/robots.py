@@ -176,16 +176,29 @@ def robots_allowed(rules: Column, path: Column) -> Column:
     return F.coalesce(best["allow"], F.lit(True))
 
 
-def filter_robots_allowed(pages, robots, agent: str = "*", path_col: str = "path"):
+def filter_robots_allowed(
+    pages,
+    robots,
+    agent: str = "*",
+    path_col: str = "path",
+    broadcast: bool = True,
+):
     """Keep only pages their host's robots.txt allows for ``agent``.
 
     ``pages`` must carry (``host``, ``path_col``); ``robots`` carries
-    (``host``, ``robots_txt``).  The robots side is parsed once per host and
-    broadcast — at 100 TB the pages side streams through the scan stage with
-    zero shuffles.  Hosts absent from ``robots`` are kept (fail-open).
+    (``host``, ``robots_txt``).  The robots side is parsed once per host
+    and, by default, broadcast — the pages side then streams through the
+    scan stage with zero shuffles.  Pass ``broadcast=False`` when the host
+    registry outgrows executor memory (hundreds of millions of hosts): the
+    join falls back to a hash-partitioned shuffle on ``host``, where AQE's
+    skew splitting handles mega-hosts (the rules side is one row per host,
+    so only the probe side skews).  Hosts absent from ``robots`` are kept
+    (fail-open).
     """
     rules = robots.select(
         "host", parse_robots_rules_udf(agent)(F.col("robots_txt")).alias("rules")
     )
-    joined = pages.join(F.broadcast(rules), "host", "left")
+    if broadcast:
+        rules = F.broadcast(rules)
+    joined = pages.join(rules, "host", "left")
     return joined.where(robots_allowed(F.col("rules"), F.col(path_col))).drop("rules")
