@@ -222,3 +222,50 @@ def test_backfill_metrics_are_exact(spark, tmp_path):
     assert got.agg({"n_docs": "sum"}).first()[0] == 50
     ref = windowed_ingest_metrics(extract_pages_stream(pages))
     assert got.count() == ref.count()  # every window present, incl. the tail
+
+
+def test_round4_kernel_stages_compose_in_streaming(spark, tmp_path):
+    """The new stateless kernel stages (mojibake repair, Unicode
+    canonicalization, markdown rendering, JSON-LD) are plain projections,
+    so a readStream pipeline over them must equal the batch result on the
+    same files — no rewrite, no state."""
+    from wpextract_spark.operators.encoding import fix_mojibake_udf
+    from wpextract_spark.operators.extract import jsonld_udf, markdown_udf
+    from wpextract_spark.operators.textnorm import normalize_text_udf
+
+    rows = [
+        (1, "cafÃ©  twice", "<h1>T</h1><p>b</p>"),
+        (2, "plain “q”", "<ul><li>i</li></ul>"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string, html string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "sin"))
+
+    def stages(frame):
+        fixed = fix_mojibake_udf()(F.col("text"))
+        return frame.select(
+            "id",
+            normalize_text_udf()(fixed["fixed"]).alias("clean"),
+            markdown_udf()(F.col("html")).alias("md"),
+            jsonld_udf()(F.col("html"))["n_objects"].alias("n_ld"),
+        )
+
+    batch = {r.id: r for r in stages(spark.read.parquet(str(tmp_path / "sin"))).collect()}
+    stream_in = spark.readStream.schema("id long, text string, html string").parquet(
+        str(tmp_path / "sin")
+    )
+    q = (
+        stages(stream_in)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "sout"))
+        .option("checkpointLocation", str(tmp_path / "sckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.id: r for r in spark.read.parquet(str(tmp_path / "sout")).collect()}
+    assert got.keys() == batch.keys()
+    for key in got:
+        assert got[key] == batch[key]
+    assert got[1].clean == "café twice"  # repaired, then ws-collapsed
+    assert got[2].clean == 'plain "q"'  # curly quotes folded
+    assert got[2].md == "- i"
