@@ -91,3 +91,37 @@ def jsonld_summary(objects: list[dict]) -> dict:
         "date_published": date_published,
         "author": author,
     }
+
+
+def extract_publish_signals(root: Tag) -> dict:
+    """The page's publish-date signals, ONE parse, in precedence order.
+
+    Returns raw strings (normalization/validation happens JVM-side in the
+    cascade — ``try_to_date`` there, not here, so a garbage value in a
+    stronger signal falls through to the next):
+
+    * ``jsonld_date`` — first ``datePublished`` across JSON-LD objects;
+    * ``meta_time`` — ``<meta property="article:published_time">`` (the
+      Open Graph article namespace WordPress themes emit);
+    * ``time_attr`` — the first ``<time datetime=...>`` element.
+    """
+    jsonld_date = jsonld_summary(extract_jsonld(root))["date_published"]
+    meta_time = None
+    for tag in root.find_all("meta"):
+        if (
+            (tag.get("property") or "").strip().lower()
+            == "article:published_time"
+            and tag.get("content")
+        ):
+            meta_time = tag["content"].strip()
+            break
+    time_attr = None
+    for tag in root.find_all("time"):
+        if tag.get("datetime"):
+            time_attr = tag["datetime"].strip()
+            break
+    return {
+        "jsonld_date": jsonld_date,
+        "meta_time": meta_time,
+        "time_attr": time_attr,
+    }

@@ -1118,6 +1118,63 @@ FROM documents
 """
 
 
+def q_publish_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Publish-date cascade: jsonld > og-article meta > <time> > URL
+    pattern, with an invalid stronger signal (unparseable jsonld date)
+    falling through to the URL, and a no-signal page yielding nulls."""
+    from wpextract_spark.operators.dates import publish_dates
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    ld = '<script type="application/ld+json">'
+    html = (
+        F.when(
+            did % 6 == 0,
+            F.lit(
+                ld + '{"@type":"Article","datePublished":"2024-01-02T10:00:00Z"}'
+                '</script><meta property="article:published_time" '
+                'content="2023-12-31T23:59:59Z">'
+            ),
+        )
+        .when(
+            did % 6 == 1,
+            F.lit(
+                '<meta property="article:published_time" '
+                'content="2023-12-31T23:59:59Z">'
+            ),
+        )
+        .when(did % 6 == 2, F.lit('<time datetime="2022-05-05">May 5</time>'))
+        .when(did % 6 == 3, F.lit("<p>no in-page signal</p>"))
+        .when(
+            did % 6 == 4,
+            F.lit(ld + '{"@type":"Article","datePublished":"not-a-date"}</script>'),
+        )
+        .otherwise(F.lit("<p>nothing at all</p>"))
+    )
+    url = F.when(
+        (did % 6).isin(3, 4),
+        F.concat(F.lit("https://e/2021/07/15/post-"), ds),
+    ).otherwise(F.concat(F.lit("https://e/post-"), ds))
+    pages = docs.select("doc_id", html.alias("html"), url.alias("url"))
+    return publish_dates(pages)
+
+
+ORACLE_PUBLISH_DATES = """
+SELECT doc_id,
+       CASE doc_id % 6
+         WHEN 0 THEN DATE '2024-01-02'
+         WHEN 1 THEN DATE '2023-12-31'
+         WHEN 2 THEN DATE '2022-05-05'
+         WHEN 3 THEN DATE '2021-07-15'
+         WHEN 4 THEN DATE '2021-07-15' END AS publish_date,
+       CASE doc_id % 6
+         WHEN 0 THEN 'jsonld' WHEN 1 THEN 'meta' WHEN 2 THEN 'time'
+         WHEN 3 THEN 'url' WHEN 4 THEN 'url' END AS date_source
+FROM documents
+"""
+
+
 def q_extract_locale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-locale sniffing with the excluded-segment and normalization rules."""
     docs = _t(spark, sf_dir, "documents")
@@ -4174,6 +4231,7 @@ QUERIES = {
     "q_hreflang_alternates": q_hreflang_alternates,  # new in round 4 — needs a driver row
     "q_sitemap_parse": q_sitemap_parse,  # new in round 4 — needs a driver row
     "q_frontier_priority": q_frontier_priority,  # new in round 4 — needs a driver row
+    "q_publish_dates": q_publish_dates,  # new in round 4 — round-5 rotation
     "q_warc_extract": q_warc_extract,  # new in round 4 — needs a driver row
     "q_jpeg_pixels": q_jpeg_pixels,  # new in round 4 — needs a driver row
     "q_bpe_encode": q_bpe_encode,  # new in round 4 — needs a driver row
@@ -4337,6 +4395,7 @@ ORACLES = {
     "q_hreflang_alternates": ORACLE_HREFLANG_ALTERNATES,
     "q_sitemap_parse": ORACLE_SITEMAP_PARSE,
     "q_frontier_priority": ORACLE_FRONTIER_PRIORITY,
+    "q_publish_dates": ORACLE_PUBLISH_DATES,
     "q_audio_meta": ORACLE_AUDIO_META,
     "q_frame_sample": ORACLE_FRAME_SAMPLE,
     "q_pdf_roundtrip": ORACLE_PDF_ROUNDTRIP,
