@@ -78,3 +78,20 @@ def test_carried_text_is_previous_runs_output(spark):
     got = {r.url: r.text for r in corpus.collect()}
     assert got["u3"] == "body 3 [annotated]"  # carried verbatim
     assert got["u2"] == "body 2 EDITED"  # freshly extracted
+
+
+def test_second_refresh_with_same_crawl_is_a_noop(spark):
+    run1, run2 = _crawls(spark)
+    corpus1, _ = incremental_update(extract_pages(run1), run2)
+    seen: list[str] = []
+
+    def counting_extract(pages):
+        seen.extend(r.url for r in pages.select("url").collect())
+        return extract_pages(pages)
+
+    corpus2, diff = incremental_update(corpus1, run2, extract=counting_extract)
+    assert {r.status for r in diff.collect()} == {"unchanged"}
+    assert seen == []  # the kernel never ran
+    assert {(r.url, r.text) for r in corpus2.collect()} == {
+        (r.url, r.text) for r in corpus1.collect()
+    }
