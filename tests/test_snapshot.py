@@ -53,3 +53,51 @@ def test_only_fingerprints_shuffle(spark):
     # text never crosses an exchange: it is consumed by md5 in the
     # pre-shuffle projection
     assert "md5" in plan
+
+
+def test_classify_changes_statuses(spark):
+    from wpextract_spark.operators.snapshot import classify_changes
+
+    old = spark.createDataFrame(
+        [
+            ("u1", "<div>A</div><p>t1</p>", "t1"),
+            ("u2", "<div>A</div><p>t2</p>", "t2"),
+            ("u3", "<div>A</div><p>t3</p>", "t3"),
+            ("u4", "<div>A</div><p>t4</p>", "t4"),
+        ],
+        ["url", "html", "text"],
+    )
+    new = spark.createDataFrame(
+        [
+            ("u1", "<div>A</div><p>t1</p>", "t1"),  # unchanged
+            ("u2", "<div>B</div><p>t2</p>", "t2"),  # template churn only
+            ("u3", "<p>rewritten</p>", "rewritten"),  # content change
+            ("u5", "<p>new</p>", "new"),  # added
+        ],
+        ["url", "html", "text"],
+    )
+    got = {r.url: r.status for r in classify_changes(old, new).collect()}
+    assert got == {
+        "u1": "unchanged",
+        "u2": "template_change",
+        "u3": "content_change",
+        "u4": "removed",
+        "u5": "added",
+    }
+
+
+def test_classify_changes_prunes_payloads_before_join(spark):
+    from wpextract_spark.operators.snapshot import classify_changes
+
+    old = spark.createDataFrame([("u", "h", "t")], ["url", "html", "text"])
+    new = spark.createDataFrame([("u", "h", "t")], ["url", "html", "text"])
+    plan = (
+        classify_changes(old, new)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    # fingerprints are computed below the join; raw html/text columns must
+    # not appear in the join output attributes.
+    join_line = [l for l in plan.splitlines() if "Join" in l]
+    assert join_line and "html" not in join_line[0]

@@ -56,3 +56,43 @@ def snapshot_diff(
         "new_fp",
         status.alias("status"),
     )
+
+
+def classify_changes(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "url",
+    raw_col: str = "html",
+    text_col: str = "text",
+) -> DataFrame:
+    """Diff two snapshots at TWO granularities: raw bytes and extracted
+    text.  Output ``(id, status)`` with status one of ``added``,
+    ``removed``, ``unchanged``, ``template_change`` (raw bytes differ but
+    the extracted text is identical — theme/widget/ad churn that must NOT
+    re-trigger downstream dedup or training-set updates), and
+    ``content_change`` (the text itself moved).
+
+    On a real crawl the overwhelming majority of "changed" pages are
+    template churn — rotating sidebars, timestamps, CSRF tokens — so this
+    split is what keeps the incremental pipeline's re-extraction set small
+    and honest.  Same scale shape as :func:`snapshot_diff`: only
+    ``(id, fp_raw, fp_text)`` triples cross the full-outer join; html and
+    text are pruned before the exchange.  Precondition: unique ``id_col``
+    per snapshot.
+    """
+    def _fps(df: DataFrame, prefix: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("_id"),
+            F.md5(F.col(raw_col)).alias(prefix + "_raw"),
+            F.md5(F.col(text_col)).alias(prefix + "_text"),
+        )
+
+    joined = _fps(old, "o").join(_fps(new, "n"), "_id", "full_outer")
+    status = (
+        F.when(F.col("o_raw").isNull(), F.lit("added"))
+        .when(F.col("n_raw").isNull(), F.lit("removed"))
+        .when(F.col("o_raw") == F.col("n_raw"), F.lit("unchanged"))
+        .when(F.col("o_text") == F.col("n_text"), F.lit("template_change"))
+        .otherwise(F.lit("content_change"))
+    )
+    return joined.select(F.col("_id").alias(id_col), status.alias("status"))

@@ -1175,6 +1175,48 @@ FROM documents
 """
 
 
+def q_classify_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-granularity snapshot classification: template churn (raw bytes
+    differ, extracted text identical) separated from real content changes,
+    plus the added/removed/unchanged statuses — one construction variant
+    per outcome."""
+    from wpextract_spark.operators.snapshot import classify_changes
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    url = F.concat(F.lit("u"), ds)
+    old_html = F.concat(F.lit("<div>sb-old</div><p>t"), ds, F.lit("</p>"))
+    old_text = F.concat(F.lit("t"), ds)
+    new_html = (
+        F.when(did % 5 == 2, F.concat(F.lit("<div>sb-NEW</div><p>t"), ds, F.lit("</p>")))
+        .when(did % 5 == 3, F.concat(F.lit("<p>rewritten "), ds, F.lit("</p>")))
+        .otherwise(old_html)
+    )
+    new_text = F.when(did % 5 == 3, F.concat(F.lit("rewritten "), ds)).otherwise(
+        old_text
+    )
+    old = docs.where(did % 5 != 4).select(
+        url.alias("url"), old_html.alias("html"), old_text.alias("text")
+    )
+    new = docs.where(did % 5 != 0).select(
+        url.alias("url"), new_html.alias("html"), new_text.alias("text")
+    )
+    return classify_changes(old, new)
+
+
+ORACLE_CLASSIFY_CHANGES = """
+SELECT 'u' || doc_id AS url,
+       CASE doc_id % 5
+         WHEN 0 THEN 'removed'
+         WHEN 1 THEN 'unchanged'
+         WHEN 2 THEN 'template_change'
+         WHEN 3 THEN 'content_change'
+         ELSE 'added' END AS status
+FROM documents
+"""
+
+
 def q_extract_locale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-locale sniffing with the excluded-segment and normalization rules."""
     docs = _t(spark, sf_dir, "documents")
@@ -4265,6 +4307,8 @@ QUERIES = {
     "q_corpus_profile": q_corpus_profile,
     "q_vocab_build": q_vocab_build,
     "q_tfidf_vectors": q_tfidf_vectors,
+    # below the 50-entry driver window: waits for round-5 rotation
+    "q_classify_changes": q_classify_changes,
     "q_repetition_stats": q_repetition_stats,
     "q_gopher_quality": q_gopher_quality,
     "q_asof_join": q_asof_join,
@@ -4396,6 +4440,7 @@ ORACLES = {
     "q_sitemap_parse": ORACLE_SITEMAP_PARSE,
     "q_frontier_priority": ORACLE_FRONTIER_PRIORITY,
     "q_publish_dates": ORACLE_PUBLISH_DATES,
+    "q_classify_changes": ORACLE_CLASSIFY_CHANGES,
     "q_audio_meta": ORACLE_AUDIO_META,
     "q_frame_sample": ORACLE_FRAME_SAMPLE,
     "q_pdf_roundtrip": ORACLE_PDF_ROUNDTRIP,
