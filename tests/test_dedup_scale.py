@@ -190,3 +190,57 @@ def test_salted_join_rejects_right_preserving_joins(spark):
         salted_join(left, right, ["k"], how="full")
     # left join: unmatched left row survives exactly once
     assert salted_join(left, right, ["k"], how="left").count() == 1
+
+
+def test_containment_catches_quotes_jaccard_misses(spark):
+    from wpextract_spark.operators.dedup import containment_pairs, ngram_jaccard_pairs
+
+    long_words = " ".join(f"w{i}" for i in range(200))
+    quote = " ".join(f"w{i}" for i in range(40, 52))  # verbatim slice
+    docs = spark.createDataFrame(
+        [("full", long_words), ("quote", quote), ("other", "x y z q r s t")],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r.id_a, r.id_b): r for r in containment_pairs(docs, threshold=0.9).collect()
+    }
+    assert ("full", "quote") in got
+    row = got[("full", "quote")]
+    assert row.cont_b_in_a == 1.0  # the quote is fully contained
+    assert row.cont_a_in_b < 0.1
+    # symmetric jaccard at any near-dup threshold misses the same pair
+    assert not ngram_jaccard_pairs(docs, threshold=0.5).collect()
+
+
+def test_containment_verify_path_matches_direct(spark):
+    from wpextract_spark.operators.dedup import containment_pairs
+
+    docs = spark.createDataFrame(
+        [
+            ("a", "p q r s t u v"),
+            ("b", "p q r s t u v extra tail words here"),
+            ("c", "unrelated text entirely different words"),
+        ],
+        ["doc_id", "text"],
+    )
+    direct = {
+        (r.id_a, r.id_b): (r.cont_a_in_b, r.cont_b_in_a)
+        for r in containment_pairs(docs, threshold=0.9).collect()
+    }
+    cands = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c")], ["id_a", "id_b"]
+    )
+    verified = {
+        (r.id_a, r.id_b): (r.cont_a_in_b, r.cont_b_in_a)
+        for r in containment_pairs(docs, threshold=0.9, candidates=cands).collect()
+    }
+    assert direct == verified == {("a", "b"): (1.0, 0.555556)}
+
+
+def test_containment_short_docs_never_divide_by_zero(spark):
+    from wpextract_spark.operators.dedup import containment_pairs
+
+    docs = spark.createDataFrame(
+        [("a", "one two"), ("b", ""), ("c", "one two")], ["doc_id", "text"]
+    )
+    assert containment_pairs(docs).collect() == []  # gram-less: no pairs

@@ -123,23 +123,16 @@ def lsh_candidate_pairs(
     )
 
 
-def ngram_jaccard_pairs(
+def _gram_pair_counts(
     docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    n: int = 3,
-    threshold: float = 0.8,
-    candidates: DataFrame | None = None,
+    id_col: str,
+    text_col: str,
+    n: int,
+    candidates: DataFrame | None,
 ) -> DataFrame:
-    """Document pairs with word-``n``-gram Jaccard similarity >= threshold.
-
-    Output: (id_a, id_b, jaccard). Without ``candidates`` this self-joins on
-    shared grams — quadratic in per-gram document frequency, only safe on
-    small slices. With ``candidates`` (a DataFrame with id_a/id_b, e.g. from
-    :func:`lsh_candidate_pairs`) the join fans out linearly in
-    ``|candidates| x grams-per-doc``: the scale path is LSH propose ->
-    Jaccard verify.
-    """
+    """(id_a, id_b, common, na, nb) for every pair sharing >= 1 distinct
+    word-n-gram — the shared propose/verify machinery behind both the
+    symmetric (Jaccard) and directed (containment) gram metrics."""
     words = _words(text_col)
     # Docs with fewer than n words yield NO grams: sequence(0, size-n) with
     # size < n would DESCEND (0, -1, ...) and slice(words, 0, n) aborts the
@@ -178,13 +171,13 @@ def ngram_jaccard_pairs(
             )
             .withColumn("common", common)
             .where(F.col("common") > 0)
-            .withColumn(
-                "jaccard",
-                F.col("common")
-                / (F.size("ga") + F.size("gb") - F.col("common")),
+            .select(
+                "id_a",
+                "id_b",
+                "common",
+                F.size("ga").alias("na"),
+                F.size("gb").alias("nb"),
             )
-            .where(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "jaccard")
         )
 
     # Propose-free path: self-join on shared grams. Explode the gram
@@ -201,12 +194,67 @@ def ngram_jaccard_pairs(
         .groupBy(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
         .agg(F.count("*").alias("common"))
     )
+    return pairs.join(
+        sizes.withColumnsRenamed({id_col: "id_a", "n_grams": "na"}), "id_a"
+    ).join(sizes.withColumnsRenamed({id_col: "id_b", "n_grams": "nb"}), "id_b")
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Document pairs with word-``n``-gram Jaccard similarity >= threshold.
+
+    Output: (id_a, id_b, jaccard). Without ``candidates`` this self-joins on
+    shared grams — quadratic in per-gram document frequency, only safe on
+    small slices. With ``candidates`` (a DataFrame with id_a/id_b, e.g. from
+    :func:`lsh_candidate_pairs`) the join fans out linearly in
+    ``|candidates| x grams-per-doc``: the scale path is LSH propose ->
+    Jaccard verify.
+    """
+    counts = _gram_pair_counts(docs, id_col, text_col, n, candidates)
     return (
-        pairs.join(sizes.withColumnsRenamed({id_col: "id_a", "n_grams": "na"}), "id_a")
-        .join(sizes.withColumnsRenamed({id_col: "id_b", "n_grams": "nb"}), "id_b")
-        .withColumn("jaccard", F.col("common") / (F.col("na") + F.col("nb") - F.col("common")))
+        counts.withColumn(
+            "jaccard",
+            F.col("common") / (F.col("na") + F.col("nb") - F.col("common")),
+        )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.9,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Directed near-dup detection: pairs where one document's gram set is
+    (mostly) CONTAINED in the other's — ``C(A→B) = |A∩B| / |A|``.
+
+    Catches what symmetric Jaccard structurally cannot: quotations, partial
+    scrapes, a page embedded in a longer roll-up — a 50-word quote inside a
+    5000-word article has Jaccard ≈ 0.01 but containment 1.0.  Output
+    ``(id_a, id_b, cont_a_in_b, cont_b_in_a)`` for pairs whose LARGER
+    containment crosses ``threshold``; the direction with the higher value
+    names the contained (smaller) side.  Same propose/verify scale contract
+    as :func:`ngram_jaccard_pairs` (pass LSH ``candidates`` at scale;
+    common > 0 guarantees both denominators are positive).
+    """
+    counts = _gram_pair_counts(docs, id_col, text_col, n, candidates)
+    cont_a = F.col("common") / F.col("na")
+    cont_b = F.col("common") / F.col("nb")
+    return (
+        counts.withColumn("cont_a_in_b", F.round(cont_a, 6))
+        .withColumn("cont_b_in_a", F.round(cont_b, 6))
+        .where(F.greatest("cont_a_in_b", "cont_b_in_a") >= threshold)
+        .select("id_a", "id_b", "cont_a_in_b", "cont_b_in_a")
     )
 
 

@@ -1217,6 +1217,56 @@ FROM documents
 """
 
 
+def q_containment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed containment detection: each document paired with a 6-word
+    quote of itself — containment(quote→full) = 1.0 while symmetric
+    Jaccard stays tiny. Oracle recomputes gram sets, pair intersections
+    and both containment directions independently in SQL."""
+    from wpextract_spark.operators.dedup import containment_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    words = F.split(F.col("text"), " ")
+    full = docs.select(
+        F.concat(F.lit("f"), ds).alias("doc_id"), F.col("text").alias("text")
+    )
+    quote = docs.select(
+        F.concat(F.lit("q"), ds).alias("doc_id"),
+        F.array_join(F.slice(words, 1, 6), " ").alias("text"),
+    )
+    return containment_pairs(full.unionAll(quote), threshold=0.9)
+
+
+ORACLE_CONTAINMENT_DUPS = """
+WITH base AS (
+  SELECT 'f' || doc_id AS id, text FROM documents
+  UNION ALL
+  SELECT 'q' || doc_id, array_to_string(string_split(text, ' ')[1:6], ' ')
+  FROM documents
+),
+w AS (SELECT id, string_split(text, ' ') AS ws FROM base),
+g0 AS (
+  SELECT id, array_to_string(ws[g.i + 1 : g.i + 3], ' ') AS gram
+  FROM w, LATERAL unnest(generate_series(0, len(ws) - 3)) AS g(i)
+  WHERE len(ws) >= 3),
+g AS (SELECT DISTINCT id, gram FROM g0),
+sizes AS (SELECT id, count(*) AS n FROM g GROUP BY id),
+pairs AS (
+  SELECT l.id AS id_a, r.id AS id_b, count(*) AS common
+  FROM g l JOIN g r ON l.gram = r.gram AND l.id < r.id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       round(common * 1.0 / sa.n, 6) AS cont_a_in_b,
+       round(common * 1.0 / sb.n, 6) AS cont_b_in_a
+FROM pairs
+JOIN sizes sa ON pairs.id_a = sa.id
+JOIN sizes sb ON pairs.id_b = sb.id
+WHERE greatest(round(common * 1.0 / sa.n, 6),
+               round(common * 1.0 / sb.n, 6)) >= 0.9
+"""
+
+
 def q_extract_locale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-locale sniffing with the excluded-segment and normalization rules."""
     docs = _t(spark, sf_dir, "documents")
@@ -4309,6 +4359,7 @@ QUERIES = {
     "q_tfidf_vectors": q_tfidf_vectors,
     # below the 50-entry driver window: waits for round-5 rotation
     "q_classify_changes": q_classify_changes,
+    "q_containment_dups": q_containment_dups,
     "q_repetition_stats": q_repetition_stats,
     "q_gopher_quality": q_gopher_quality,
     "q_asof_join": q_asof_join,
@@ -4441,6 +4492,7 @@ ORACLES = {
     "q_frontier_priority": ORACLE_FRONTIER_PRIORITY,
     "q_publish_dates": ORACLE_PUBLISH_DATES,
     "q_classify_changes": ORACLE_CLASSIFY_CHANGES,
+    "q_containment_dups": ORACLE_CONTAINMENT_DUPS,
     "q_audio_meta": ORACLE_AUDIO_META,
     "q_frame_sample": ORACLE_FRAME_SAMPLE,
     "q_pdf_roundtrip": ORACLE_PDF_ROUNDTRIP,
