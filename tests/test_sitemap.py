@@ -71,3 +71,70 @@ def test_total_on_arbitrary_bytes(s):
     parsed = parse_sitemap(s)
     assert parsed["kind"] in ("urlset", "index", None)
     assert isinstance(parsed["entries"], list)
+
+
+# --- RSS/Atom feeds ----------------------------------------------------------
+
+
+def test_rss_feed_with_cdata_and_keyless_item():
+    from wpextract_spark.kernel.feed import parse_feed
+
+    xml = (
+        "<rss><channel><title>B</title>"
+        "<item><title><![CDATA[Post & <One>]]></title>"
+        "<link>https://e/p1</link>"
+        "<pubDate>Mon, 01 Jan 2024 10:00:00 +0000</pubDate>"
+        '<guid isPermaLink="false">g1</guid></item>'
+        "<item><title>keyless</title></item>"
+        "<item><guid>only-guid</guid></item>"
+        "</channel></rss>"
+    )
+    parsed = parse_feed(xml)
+    assert parsed["kind"] == "rss"
+    assert parsed["title"] == "B"
+    assert parsed["entries"][0] == {
+        "title": "Post & <One>",
+        "link": "https://e/p1",
+        "published": "Mon, 01 Jan 2024 10:00:00 +0000",
+        "guid": "g1",
+    }
+    assert [e["guid"] for e in parsed["entries"]] == ["g1", "only-guid"]
+
+
+def test_atom_feed_link_preference_and_updated_fallback():
+    from wpextract_spark.kernel.feed import parse_feed
+
+    xml = (
+        "<feed><title>A</title><entry><title>E</title>"
+        '<link rel="self" href="https://e/self"/>'
+        '<link rel="alternate" href="https://e/alt"/>'
+        "<id>tag:e</id><updated>2024-02-02</updated></entry>"
+        '<entry><link href="https://e/bare"/><id>tag:f</id>'
+        "<published>2024-03-03</published>"
+        "<updated>2024-04-04</updated></entry></feed>"
+    )
+    parsed = parse_feed(xml)
+    assert parsed["kind"] == "atom"
+    assert parsed["entries"][0]["link"] == "https://e/alt"
+    assert parsed["entries"][0]["published"] == "2024-02-02"  # updated fallback
+    assert parsed["entries"][1]["link"] == "https://e/bare"  # rel-less = alternate
+    assert parsed["entries"][1]["published"] == "2024-03-03"  # published wins
+
+
+def test_non_feed_payloads_total():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from wpextract_spark.kernel.feed import parse_feed
+
+    assert parse_feed("<html><body>404</body></html>")["kind"] is None
+    assert parse_feed("")["entries"] == []
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.text(max_size=120))
+    def prop(s):
+        parsed = parse_feed(s)
+        assert parsed["kind"] in ("rss", "atom", None)
+        assert isinstance(parsed["entries"], list)
+
+    prop()

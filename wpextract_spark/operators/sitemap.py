@@ -60,3 +60,50 @@ def sitemap_udf():
         )
 
     return _sitemap
+
+
+FEED_TYPE = StructType(
+    [
+        StructField("kind", StringType()),
+        StructField("title", StringType()),
+        StructField(
+            "entries",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("title", StringType()),
+                        StructField("link", StringType()),
+                        StructField("published", StringType()),
+                        StructField("guid", StringType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+
+def feed_udf():
+    """(xml) -> struct<kind, title, entries> for RSS 2.0 / Atom payloads.
+
+    The feed-polling leg of the scheduler: fresher than recrawling listing
+    pages, and the entry links/pubDates flow straight into the frontier
+    and the publish-date cascade. Null/unparseable -> (null, null, [])."""
+    from wpextract_spark.kernel.feed import parse_feed
+
+    def _one(xml):
+        if xml is None:
+            return (None, None, [])
+        try:
+            parsed = parse_feed(xml)
+        except Exception:
+            return (None, None, [])
+        return (parsed["kind"], parsed["title"], parsed["entries"])
+
+    @F.pandas_udf(FEED_TYPE)
+    def _feed(xml: pd.Series) -> pd.DataFrame:
+        return pd.DataFrame(
+            [_one(value) for value in xml], columns=["kind", "title", "entries"]
+        )
+
+    return _feed

@@ -1267,6 +1267,93 @@ WHERE greatest(round(common * 1.0 / sa.n, 6),
 """
 
 
+def q_feed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSS/Atom feed parsing: an RSS channel with a CDATA title and a
+    keyless (dropped) item, an Atom feed preferring the rel=alternate
+    link over rel=self, and a non-feed payload contributing nothing."""
+    from wpextract_spark.operators.sitemap import feed_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    ds = did.cast("string")
+    xml = (
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit("<rss><channel><title>Blog "),
+                ds,
+                F.lit(
+                    "</title><item><title><![CDATA[Post & "
+                ),
+                ds,
+                F.lit(
+                    "]]></title><link>https://e/p-"
+                ),
+                ds,
+                F.lit(
+                    "</link><pubDate>Mon, 01 Jan 2024 10:00:00 +0000</pubDate>"
+                    "<guid>g-"
+                ),
+                ds,
+                F.lit(
+                    "</guid></item><item><title>keyless</title></item>"
+                    "</channel></rss>"
+                ),
+            ),
+        )
+        .when(
+            did % 3 == 1,
+            F.concat(
+                F.lit("<feed><title>Atom "),
+                ds,
+                F.lit(
+                    '</title><entry><title>E</title>'
+                    '<link rel="self" href="https://e/self"/>'
+                    '<link rel="alternate" href="https://e/a-'
+                ),
+                ds,
+                F.lit(
+                    '"/><id>tag:e-'
+                ),
+                ds,
+                F.lit(
+                    "</id><updated>2024-02-02T00:00:00Z</updated></entry></feed>"
+                ),
+            ),
+        )
+        .otherwise(F.lit("<html><body>404 not a feed</body></html>"))
+    )
+    res = feed_udf()(xml)
+    return docs.select(
+        "doc_id",
+        res["kind"].alias("kind"),
+        res["title"].alias("feed_title"),
+        F.explode(res["entries"]).alias("e"),
+    ).select(
+        "doc_id",
+        "kind",
+        "feed_title",
+        F.col("e")["title"].alias("title"),
+        F.col("e")["link"].alias("link"),
+        F.col("e")["published"].alias("published"),
+        F.col("e")["guid"].alias("guid"),
+    )
+
+
+ORACLE_FEED_PARSE = """
+SELECT doc_id, 'rss' AS kind, 'Blog ' || doc_id AS feed_title,
+       'Post & ' || doc_id AS title,
+       'https://e/p-' || doc_id AS link,
+       'Mon, 01 Jan 2024 10:00:00 +0000' AS published,
+       'g-' || doc_id AS guid
+FROM documents WHERE doc_id % 3 = 0
+UNION ALL
+SELECT doc_id, 'atom', 'Atom ' || doc_id, 'E',
+       'https://e/a-' || doc_id, '2024-02-02T00:00:00Z', 'tag:e-' || doc_id
+FROM documents WHERE doc_id % 3 = 1
+"""
+
+
 def q_extract_locale(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL-locale sniffing with the excluded-segment and normalization rules."""
     docs = _t(spark, sf_dir, "documents")
@@ -4360,6 +4447,7 @@ QUERIES = {
     # below the 50-entry driver window: waits for round-5 rotation
     "q_classify_changes": q_classify_changes,
     "q_containment_dups": q_containment_dups,
+    "q_feed_parse": q_feed_parse,
     "q_repetition_stats": q_repetition_stats,
     "q_gopher_quality": q_gopher_quality,
     "q_asof_join": q_asof_join,
@@ -4493,6 +4581,7 @@ ORACLES = {
     "q_publish_dates": ORACLE_PUBLISH_DATES,
     "q_classify_changes": ORACLE_CLASSIFY_CHANGES,
     "q_containment_dups": ORACLE_CONTAINMENT_DUPS,
+    "q_feed_parse": ORACLE_FEED_PARSE,
     "q_audio_meta": ORACLE_AUDIO_META,
     "q_frame_sample": ORACLE_FRAME_SAMPLE,
     "q_pdf_roundtrip": ORACLE_PDF_ROUNDTRIP,
