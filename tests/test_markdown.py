@@ -52,6 +52,27 @@ def test_table_with_pipe_escape():
     assert got == "| a | b\\|c |\n| --- | --- |\n| 1 | 2 |"
 
 
+def test_nested_table_rows_not_hoisted():
+    # A table inside a cell renders inline within that cell; its rows must
+    # not ALSO appear as rows of the outer pipe table.
+    got = md(
+        "<table><tr><th>h1</th><th>h2</th></tr>"
+        "<tr><td><table><tr><td>inner</td></tr></table></td><td>o2</td></tr>"
+        "</table>"
+    )
+    assert got == "| h1 | h2 |\n| --- | --- |\n| inner | o2 |"
+    assert got.count("inner") == 1
+
+
+def test_table_section_rows_kept():
+    got = md(
+        "<table><thead><tr><th>a</th></tr></thead>"
+        "<tbody><tr><td>1</td></tr><tr><td>2</td></tr></tbody>"
+        "<tfoot><tr><td>t</td></tr></tfoot></table>"
+    )
+    assert got == "| a |\n| --- |\n| 1 |\n| 2 |\n| t |"
+
+
 def test_hr_br():
     assert md("<p>a<br>b</p><hr>") == "a\nb\n\n---"
 

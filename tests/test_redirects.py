@@ -37,6 +37,21 @@ def test_linear_chains_and_shared_terminal(spark):
     assert got["lone"] == ("final", 1, True)
 
 
+def test_duplicate_src_deduped_deterministically(spark):
+    # A duplicated source (same URL recorded twice across crawl runs) must
+    # not fan out the doubling joins; the smallest dst wins.
+    rows = [("a", "b"), ("a", "z"), ("b", "final"), ("z", "other")]
+    df = spark.createDataFrame(rows, ["src", "dst"])
+    got = {
+        r.src: (r.final_url, r.hops, r.resolved)
+        for r in resolve_redirects(df).collect()
+    }
+    assert len(got) == 3  # one row per distinct source
+    assert got["a"] == ("final", 2, True)  # via min(dst) = "b"
+    assert got["b"] == ("final", 1, True)
+    assert got["z"] == ("other", 1, True)
+
+
 def test_cycle_and_rho_are_unresolved(spark):
     # pure cycle p->q->r->p, plus a tail entering it (rho shape).
     edges = {"p": "q", "q": "r", "r": "p", "tail": "p"}

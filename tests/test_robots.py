@@ -69,6 +69,37 @@ def test_adjacent_user_agents_share_a_group():
     assert is_allowed(parse_robots(text, "c"), "/x/1")  # no * group
 
 
+def test_duplicate_agent_groups_are_combined():
+    # RFC 9309 §2.2.1: multiple groups naming the same token are combined.
+    # Dropping the later group would fail open (default is allow).
+    text = (
+        "User-agent: *\nDisallow: /a\n\n"
+        "User-agent: FooBot\nDisallow: /foo\n\n"
+        "User-agent: *\nDisallow: /b\n"
+    )
+    star = parse_robots(text, "*")
+    assert not is_allowed(star, "/a/x")
+    assert not is_allowed(star, "/b/x")  # later duplicate group still applies
+    assert is_allowed(star, "/foo")  # other tokens' groups don't leak in
+    # combined across a shared-adjacency run too
+    text2 = (
+        "User-agent: a\nUser-agent: b\nDisallow: /x\n\n"
+        "User-agent: a\nDisallow: /y\n"
+    )
+    assert not is_allowed(parse_robots(text2, "a"), "/y/1")
+    assert not is_allowed(parse_robots(text2, "a"), "/x/1")
+    assert is_allowed(parse_robots(text2, "b"), "/y/1")  # b got only run 1
+    assert not is_allowed(parse_robots(text2, "b"), "/x/1")
+
+
+def test_duplicate_token_within_one_run_counts_once():
+    text = "User-agent: a\nUser-agent: a\nDisallow: /x\n"
+    assert parse_robots(text, "a") == [
+        r for r in parse_robots(text, "a")
+    ]  # no duplicated rules
+    assert len(parse_robots(text, "a")) == 1
+
+
 def test_non_rule_lines_break_agent_adjacency():
     # A Sitemap line between groups must not merge them.
     text = (

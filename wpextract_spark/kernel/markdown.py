@@ -111,9 +111,30 @@ def _list_items(tag: Tag, ordered: bool, depth: int) -> list[str]:
     return out
 
 
+def _own_rows(tag: Tag) -> list[Tag]:
+    """The table's OWN rows: direct ``tr`` children plus ``tr`` children of
+    direct ``thead``/``tbody``/``tfoot`` children. A recursive find_all
+    would hoist rows of a table nested inside a cell into the outer pipe
+    table — duplicating them (they also render inline inside the cell) and
+    corrupting the outer column count."""
+    rows: list[Tag] = []
+    for child in tag.children:
+        if not isinstance(child, Tag):
+            continue
+        if child.name == "tr":
+            rows.append(child)
+        elif child.name in ("thead", "tbody", "tfoot"):
+            rows.extend(
+                tr
+                for tr in child.children
+                if isinstance(tr, Tag) and tr.name == "tr"
+            )
+    return rows
+
+
 def _table(tag: Tag) -> str:
     rows: list[list[str]] = []
-    for tr in tag.find_all("tr"):
+    for tr in _own_rows(tag):
         cells = [
             _collapse(_inline(cell)).replace("|", "\\|")
             for cell in tr.children

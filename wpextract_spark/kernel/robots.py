@@ -40,9 +40,13 @@ def _parse_groups(
     Sitemaps are file-global (the Sitemaps protocol, not group-scoped);
     Crawl-delay is the de-facto group-scoped extension every major crawler
     honors.  Group bookkeeping: adjacent ``User-agent`` lines share one
-    group; any directive line ends the adjacency run.
+    group; any directive line ends the adjacency run.  Multiple groups
+    naming the same token are combined (RFC 9309 §2.2.1: "the matching
+    groups' rules MUST be combined into one group") — real robots.txt
+    files do repeat ``User-agent: *``, and dropping the later group would
+    fail open (evaluation defaults to allow).
     """
-    groups: dict[str, list[RobotsRule]] = {}
+    runs: list[tuple[list[str], list[RobotsRule]]] = []
     delays: dict[str, float] = {}
     sitemaps: list[str] = []
     current: list[RobotsRule] = []
@@ -59,9 +63,9 @@ def _parse_groups(
             if rules_seen_since_agent:
                 current = []
                 current_agents = []
+                runs.append((current_agents, current))
                 rules_seen_since_agent = False
             current_agents.append(value.lower())
-            groups.setdefault(value.lower(), current)
         elif field in ("allow", "disallow"):
             rules_seen_since_agent = True
             if value:  # empty Disallow matches nothing — drop it
@@ -80,6 +84,12 @@ def _parse_groups(
                 delays.setdefault(name, delay)
         else:  # unknown fields — not rules
             rules_seen_since_agent = True
+    # Combine groups per token (RFC 9309 §2.2.1). A token repeated inside
+    # one adjacency run contributes its rules once.
+    groups: dict[str, list[RobotsRule]] = {}
+    for agents, rules in runs:
+        for name in dict.fromkeys(agents):
+            groups.setdefault(name, []).extend(rules)
     return groups, delays, sitemaps
 
 

@@ -43,13 +43,23 @@ def resolve_redirects(
     chains still unterminated after ``max_chain`` hops — i.e. cycles, or
     chains longer than the cap (crawlers cap redirects far lower; 64 is
     generous).
+
+    The edge table is keyed by ``src``: a source URL redirects to exactly
+    one place.  Real crawl logs can violate that (the same URL recorded
+    across runs, or a flapping server), and a duplicated ``src`` would make
+    every doubling join fan out multiplicatively — so the input is deduped
+    defensively to one edge per source with a deterministic tie-break
+    (smallest ``dst``) before the loop.  Feed per-run snapshots, not
+    mixed-run unions, when the winner matters.
     """
     rounds = max(1, math.ceil(math.log2(max_chain)))
-    mapping = redirects.select(
-        F.col(src).alias("src"),
-        F.col(dst).alias("dst"),
-        F.lit(1).cast("int").alias("hops"),
-    ).localCheckpoint(eager=False)
+    mapping = (
+        redirects.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .groupBy("src")
+        .agg(F.min("dst").alias("dst"))
+        .select("src", "dst", F.lit(1).cast("int").alias("hops"))
+        .localCheckpoint(eager=False)
+    )
     for _ in range(rounds):
         hop = mapping.select(
             F.col("src").alias("h_src"),

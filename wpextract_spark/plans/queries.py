@@ -839,8 +839,12 @@ FROM documents
 def q_compression_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compressibility quality signal: zlib ratio over document text with a
     repetitive decoration on every 3rd doc (which must compress visibly
-    harder). zlib is not SQL-expressible — the driver records a rows-only
-    check; value semantics are pinned by tests/test_textstats.py on
+    harder). zlib is not SQL-expressible, so the oracle is
+    construction-derived (_oracle_compression_signal): expected
+    (raw_len, zlib_len, ratio) computed per doc_id with stdlib zlib over
+    the deterministic sf0.01 corpus at registry-build time, emitted as a
+    literal VALUES table — the same pattern as the extraction goldens.
+    Value semantics are additionally pinned by tests/test_textstats.py on
     known-entropy corpora."""
     from wpextract_spark.operators.textstats import compression_signal_udf
 
@@ -857,6 +861,51 @@ def q_compression_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
         res["zlib_len"].alias("zlib_len"),
         res["ratio"].alias("ratio"),
     )
+
+
+def _oracle_compression_signal(
+    sf_dir: str = "/root/testdata/sf0.01",
+) -> str:
+    """zlib is deterministic but not SQL-expressible, so the oracle is a
+    construction-derived golden: re-apply q_compression_signal's exact
+    padding rule to the deterministic sf0.01 corpus (the driver's
+    correctness scale) and compute (raw_len, zlib_len, ratio) with stdlib
+    zlib at registry-build time. Ratio literals carry full repr precision
+    so the double round-trips exactly through DuckDB."""
+    import zlib as _zlib
+
+    import duckdb as _duckdb
+
+    try:
+        rows = _duckdb.connect().execute(
+            "SELECT doc_id, text FROM read_parquet("
+            f"'{sf_dir}/documents.parquet') ORDER BY doc_id"
+        ).fetchall()
+    except Exception:  # pragma: no cover - corpus missing in exotic envs
+        return None
+    vals = []
+    for did, text in rows:
+        padded = text + " spam" * 40 if did % 3 == 0 else text
+        raw = padded.encode("utf-8") if padded is not None else b""
+        comp = len(_zlib.compress(raw, 6))
+        if padded is None:
+            vals.append(f"({did}, NULL, NULL, NULL)")
+        elif not raw:
+            vals.append(f"({did}, 0, {comp}, NULL)")
+        else:
+            vals.append(
+                f"({did}, {len(raw)}, {comp}, {comp / len(raw)!r})"
+            )
+    values = ",\n".join(vals)
+    return f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(raw_len AS BIGINT) AS raw_len,
+       CAST(zlib_len AS BIGINT) AS zlib_len,
+       CAST(ratio AS DOUBLE) AS ratio
+FROM (VALUES
+{values}
+) AS t(doc_id, raw_len, zlib_len, ratio)
+"""
 
 
 def q_jsonld_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4390,66 +4439,19 @@ GROUP BY 1, 2
 
 
 QUERIES = {
-    # --- Driver-sample ordering (round 4): the correctness driver checks the
-    # FIRST 50 entries of this dict (CORRECTNESS_r03 keys == registry[0:50]).
-    # Queries with the least driver-green history are listed first so every
-    # registry entry accumulates hard-signal rows; the 3x-green basics sit at
-    # the tail (they are also pinned by the pytest gate / byte-parity e2e).
-    "q_robots_filter": q_robots_filter,  # new in round 4 — needs a driver row
-    "q_redirect_chains": q_redirect_chains,  # new in round 4 — needs a driver row
-    "q_normalize_text": q_normalize_text,  # new in round 4 — needs a driver row
-    "q_dedup_keys": q_dedup_keys,  # new in round 4 — needs a driver row
-    "q_fix_mojibake": q_fix_mojibake,  # new in round 4 — needs a driver row
-    "q_render_markdown": q_render_markdown,  # new in round 4 — needs a driver row
-    "q_site_boilerplate": q_site_boilerplate,  # new in round 4 — needs a driver row
-    "q_recrawl_priority": q_recrawl_priority,  # new in round 4 — needs a driver row
-    "q_incremental_extract": q_incremental_extract,  # new in round 4 — needs a driver row
-    "q_robots_directives": q_robots_directives,  # new in round 4 — needs a driver row
-    "q_compression_signal": q_compression_signal,  # rows-only: zlib not SQL-expressible
-    "q_jsonld_extract": q_jsonld_extract,  # new in round 4 — needs a driver row
-    "q_hreflang_alternates": q_hreflang_alternates,  # new in round 4 — needs a driver row
-    "q_sitemap_parse": q_sitemap_parse,  # new in round 4 — needs a driver row
-    "q_frontier_priority": q_frontier_priority,  # new in round 4 — needs a driver row
-    "q_publish_dates": q_publish_dates,  # new in round 4 — round-5 rotation
-    "q_warc_extract": q_warc_extract,  # new in round 4 — needs a driver row
-    "q_jpeg_pixels": q_jpeg_pixels,  # new in round 4 — needs a driver row
-    "q_bpe_encode": q_bpe_encode,  # new in round 4 — needs a driver row
-    "q_video_frames": q_video_frames,  # new in round 4 — needs a driver row
-    "q_audio_pcm": q_audio_pcm,  # new in round 4 — needs a driver row
-    "q_lm_perplexity": q_lm_perplexity,  # new in round 4 — needs a driver row
-    "q_semantic_dedup": q_semantic_dedup,  # new in round 4 — needs a driver row
-    "q_image_ahash_dups": q_image_ahash_dups,  # new in round 4 — needs a driver row
-    "q_similarity_pq": q_similarity_pq,  # new in round 4 — needs a driver row
-    "q_similarity_ivfpq": q_similarity_ivfpq,  # new in round 4 — needs a driver row
-    "q_url_filter": q_url_filter,  # new in round 4 — needs a driver row
-    "q_chunk_documents": q_chunk_documents,  # new in round 4 — needs a driver row
-    "q_source_mix": q_source_mix,  # new in round 4 — needs a driver row
-    "q_snapshot_diff": q_snapshot_diff,  # new in round 4 — needs a driver row
-    "q_anchor_texts": q_anchor_texts,  # new in round 4 — needs a driver row
-    "q_page_metadata": q_page_metadata,  # new in round 4 — needs a driver row
-    "q_line_dedup": q_line_dedup,
-    "q_pii_scrub": q_pii_scrub,
-    "q_c4_filter": q_c4_filter,
-    "q_source_cap": q_source_cap,
-    "q_sequence_pack": q_sequence_pack,
-    "q_url_dedup": q_url_dedup,
-    "q_curation_pipeline": q_curation_pipeline,
-    "q_decontaminate": q_decontaminate,
-    "q_stratified_sample": q_stratified_sample,
-    "q_hash_split": q_hash_split,
-    "q_incremental_dedup": q_incremental_dedup,
-    "q_pagerank": q_pagerank,
-    "q_span_dups": q_span_dups,
-    "q_pack_sequences": q_pack_sequences,
-    "q_corpus_profile": q_corpus_profile,
-    "q_vocab_build": q_vocab_build,
-    "q_tfidf_vectors": q_tfidf_vectors,
-    # below the 50-entry driver window: waits for round-5 rotation
-    "q_classify_changes": q_classify_changes,
+    # --- Stalest-first driver-window ordering (maintained by
+    # scripts/rotate_registry.py): the correctness driver checks
+    # the FIRST 50 entries, so queries with the least / oldest
+    # driver-green history lead and multi-round-green entries sit
+    # at the tail (those are additionally pinned by the pytest
+    # gate and byte-parity e2e).
     "q_containment_dups": q_containment_dups,
     "q_feed_parse": q_feed_parse,
+    "q_compression_signal": q_compression_signal,
     "q_repetition_stats": q_repetition_stats,
     "q_gopher_quality": q_gopher_quality,
+    "q_bm25": q_bm25,
+    "q_png_pixels": q_png_pixels,
     "q_asof_join": q_asof_join,
     "q_asof_forward": q_asof_forward,
     "q_sessionize": q_sessionize,
@@ -4457,7 +4459,6 @@ QUERIES = {
     "q_inverted_index": q_inverted_index,
     "q_user_deciles": q_user_deciles,
     "q_value_bands": q_value_bands,
-    "q_bm25": q_bm25,
     "q_collocations": q_collocations,
     "q_events_cube": q_events_cube,
     "q_dedup_clusters": q_dedup_clusters,
@@ -4465,7 +4466,6 @@ QUERIES = {
     "q_lang_id_ngram": q_lang_id_ngram,
     "q_bpe_tokens": q_bpe_tokens,
     "q_image_meta": q_image_meta,
-    "q_png_pixels": q_png_pixels,
     "q_audio_meta": q_audio_meta,
     "q_extract_text_kernel": q_extract_text_kernel,
     "q_extract_link_spans": q_extract_link_spans,
@@ -4495,11 +4495,61 @@ QUERIES = {
     "q_quality_scores": q_quality_scores,
     "q_fingerprints": q_fingerprints,
     "q_lang_id": q_lang_id,
+    # ---- below the 50-entry driver window ----
     "q_multimodal_features": q_multimodal_features,
     "q_frame_sample": q_frame_sample,
     "q_pages_extract": q_pages_extract,
     "q_pdf_roundtrip": q_pdf_roundtrip,
     "q_main_content": q_main_content,
+    "q_robots_filter": q_robots_filter,
+    "q_redirect_chains": q_redirect_chains,
+    "q_normalize_text": q_normalize_text,
+    "q_dedup_keys": q_dedup_keys,
+    "q_fix_mojibake": q_fix_mojibake,
+    "q_render_markdown": q_render_markdown,
+    "q_site_boilerplate": q_site_boilerplate,
+    "q_recrawl_priority": q_recrawl_priority,
+    "q_incremental_extract": q_incremental_extract,
+    "q_robots_directives": q_robots_directives,
+    "q_jsonld_extract": q_jsonld_extract,
+    "q_hreflang_alternates": q_hreflang_alternates,
+    "q_sitemap_parse": q_sitemap_parse,
+    "q_frontier_priority": q_frontier_priority,
+    "q_publish_dates": q_publish_dates,
+    "q_warc_extract": q_warc_extract,
+    "q_jpeg_pixels": q_jpeg_pixels,
+    "q_bpe_encode": q_bpe_encode,
+    "q_video_frames": q_video_frames,
+    "q_audio_pcm": q_audio_pcm,
+    "q_lm_perplexity": q_lm_perplexity,
+    "q_semantic_dedup": q_semantic_dedup,
+    "q_image_ahash_dups": q_image_ahash_dups,
+    "q_similarity_pq": q_similarity_pq,
+    "q_similarity_ivfpq": q_similarity_ivfpq,
+    "q_url_filter": q_url_filter,
+    "q_chunk_documents": q_chunk_documents,
+    "q_source_mix": q_source_mix,
+    "q_snapshot_diff": q_snapshot_diff,
+    "q_anchor_texts": q_anchor_texts,
+    "q_page_metadata": q_page_metadata,
+    "q_line_dedup": q_line_dedup,
+    "q_pii_scrub": q_pii_scrub,
+    "q_c4_filter": q_c4_filter,
+    "q_source_cap": q_source_cap,
+    "q_sequence_pack": q_sequence_pack,
+    "q_url_dedup": q_url_dedup,
+    "q_curation_pipeline": q_curation_pipeline,
+    "q_decontaminate": q_decontaminate,
+    "q_stratified_sample": q_stratified_sample,
+    "q_hash_split": q_hash_split,
+    "q_incremental_dedup": q_incremental_dedup,
+    "q_pagerank": q_pagerank,
+    "q_span_dups": q_span_dups,
+    "q_pack_sequences": q_pack_sequences,
+    "q_corpus_profile": q_corpus_profile,
+    "q_vocab_build": q_vocab_build,
+    "q_tfidf_vectors": q_tfidf_vectors,
+    "q_classify_changes": q_classify_changes,
 }
 
 ORACLES = {
@@ -4607,3 +4657,9 @@ ORACLES = {
     "q_vocab_build": ORACLE_VOCAB_BUILD,
     "q_tfidf_vectors": ORACLE_TFIDF,
 }
+
+# Construction-derived golden (needs the sf0.01 corpus on disk; skipped —
+# leaving a rows-only check — only if the corpus is absent).
+_COMPRESSION_ORACLE = _oracle_compression_signal()
+if _COMPRESSION_ORACLE is not None:
+    ORACLES["q_compression_signal"] = _COMPRESSION_ORACLE
