@@ -212,3 +212,30 @@ def test_redirect_loop_lineage_is_truncated(spark):
     # only the final verdict join (+ its AQE wrapper) may remain
     assert plan.count("Join") <= 2, plan
     assert {r.src: r.final_url for r in out.collect()}["u0"] == "u9"
+
+
+def test_incremental_extract_diff_computed_once(spark):
+    """The shuffle-census outlier (PLANS.md r4: 13 shuffles) pinned after
+    the fix: the snapshot diff is lazy-checkpointed inside
+    incremental_update, so the final plan reads the diff as one
+    materialized RDD — the full-outer SortMergeJoin (and its pair of hash
+    exchanges) must not appear per consumer, and the only joins left are
+    the two broadcast url-subset joins (stale re-extract + carried)."""
+    from wpextract_spark.plans.queries import q_incremental_extract
+
+    df = q_incremental_extract(spark, "/root/testdata/sf0.001")
+    df.write.format("noop").mode("overwrite").save()
+    plan = _plan(df)
+    assert "SortMergeJoin" not in plan, plan
+    computational = [
+        l
+        for l in plan.splitlines()
+        if "Exchange" in l
+        and "Broadcast" not in l
+        and "Reused" not in l
+        and "RoundRobin" not in l  # input-loader repartitions
+    ]
+    assert computational == [], computational
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    # diff enters as a scanned checkpoint, not re-derived joins
+    assert "ExistingRDD" in plan, plan

@@ -74,6 +74,15 @@ def incremental_update(
         id_col="url",
         fingerprint=F.col("fp"),
     )
+    # Three consumers read the diff (stale re-extract, carried filter, and
+    # the caller's metrics/scheduling pass). Without a shared
+    # materialization each one re-executes the full-outer join AND its
+    # upstream fingerprint lineages — the executed plan showed the
+    # SortMergeJoin (with both hash exchanges) twice. Lazy-checkpoint so
+    # the diff computes once; it is (url, fp, status) rows only, never
+    # text or html, so the materialized footprint stays tiny relative to
+    # the corpus. Plan shape pinned by tests/test_plans.py.
+    diff = diff.localCheckpoint(eager=False)
     stale = diff.where(F.col("status").isin("added", "changed")).select("url")
     fresh = extract(new_pages.join(stale, "url"))
     carried = prev.join(
