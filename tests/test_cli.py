@@ -99,6 +99,43 @@ def test_build_corpus_cli(spark, tmp_path):
     assert "c4" not in m["stages"]["curate"]["rejects_by_reason"]
 
 
+def test_build_corpus_cli_from_warc(spark, tmp_path):
+    """The flagship training-corpus pipeline end-to-end from Common Crawl's
+    native format: .warc.gz shards -> build-corpus --input-format warc,
+    with a ledger that adds up to the capture count."""
+    import json as _json
+
+    from wpextract_spark.cli import main
+    from wpextract_spark.sources.synth import generate_pages
+    from wpextract_spark.sources.warcgen import build_warc
+
+    rows = generate_pages(spark, n_pages=40, seed=5, partitions=2).collect()
+    warc_root = tmp_path / "warcs"
+    warc_root.mkdir()
+    for shard in range(2):
+        chunk = [r.asDict() for r in rows[shard * 20 : (shard + 1) * 20]]
+        for c in chunk:
+            c["doc_id"] = int(c["url"].rsplit("post-", 1)[1].rstrip("/"))
+        (warc_root / f"p{shard}.warc.gz").write_bytes(build_warc(chunk))
+
+    out = str(tmp_path / "corpus")
+    rc = main(
+        [
+            "build-corpus", str(warc_root) + "/*.warc.gz", out,
+            "--input-format", "warc",
+            "--seq-len", "64", "--seqs-per-shard", "8",
+            "--skip-stage", "c4",
+        ]
+    )
+    assert rc == 0
+    with open(out + "/metrics.json") as fh:
+        m = _json.load(fh)
+    # every capture entered the extract stage, and the ledger is conserved
+    assert m["stages"]["extract"]["in"] == 40
+    ex = m["stages"]["extract"]
+    assert ex["out"] + ex.get("rejected", 0) == ex["in"]
+
+
 def test_build_corpus_cli_rejects_nonempty_out(spark, tmp_path):
     from wpextract_spark.cli import main
 

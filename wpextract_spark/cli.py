@@ -113,8 +113,23 @@ def build_parser() -> argparse.ArgumentParser:
             "Writes train shards, val/test documents, and metrics.json."
         ),
     )
-    cb.add_argument("pages", type=Path, help="pages parquet path")
+    cb.add_argument(
+        "pages",
+        type=Path,
+        help="pages input path: parquet table, or WARC dir/glob with --input-format warc",
+    )
     cb.add_argument("out_dir", type=Path, metavar="DIRECTORY")
+    cb.add_argument(
+        "--input-format",
+        choices=["parquet", "warc"],
+        default="parquet",
+        help=(
+            "'parquet': a pages table (url, warc_ts, html, text, lang). "
+            "'warc': a directory or glob of .warc/.warc.gz captures (Common "
+            "Crawl's native format) — 200-status response records become "
+            "pages; everything downstream is identical"
+        ),
+    )
     cb.add_argument(
         "--benchmark", type=Path, default=None,
         help="parquet of benchmark docs (a 'text' column) to decontaminate against",
@@ -125,6 +140,14 @@ def build_parser() -> argparse.ArgumentParser:
         "--skip-stage", action="append", default=[],
         choices=["gopher", "c4", "exact_dup", "near_dup"],
         help="curation stage to disable (repeatable)",
+    )
+    cb.add_argument(
+        "--with-containment", action="store_true",
+        help=(
+            "enable the opt-in directed-containment dedup stage (drops "
+            "documents mostly contained in a kept larger document: "
+            "quotations, partial scrapes)"
+        ),
     )
     cb.add_argument("--no-curate", action="store_true")
     cb.add_argument("--master", default=None)
@@ -190,13 +213,20 @@ def cmd_build_corpus(args: argparse.Namespace) -> int:
     from wpextract_spark.session import get_session
 
     spark = get_session("wpextract-spark-cli", master=args.master)
-    pages = spark.read.parquet(str(args.pages))
+    if args.input_format == "warc":
+        from wpextract_spark.sources.warc import read_warc_records, warc_to_pages
+
+        pages = warc_to_pages(read_warc_records(spark, str(args.pages)))
+    else:
+        pages = spark.read.parquet(str(args.pages))
     benchmark = (
         spark.read.parquet(str(args.benchmark))
         if args.benchmark is not None
         else None
     )
     stages = tuple(s for s in CURATION_STAGES if s not in set(args.skip_stage))
+    if args.with_containment:
+        stages = stages + ("containment",)
     metrics = build_training_corpus(
         spark,
         pages,

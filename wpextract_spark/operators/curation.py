@@ -28,6 +28,7 @@ from wpextract_spark.operators.corpusfilters import (
 )
 from wpextract_spark.operators.dedup import (
     WS,
+    containment_pairs,
     lsh_candidate_pairs,
     ngram_jaccard_pairs,
 )
@@ -36,6 +37,13 @@ from wpextract_spark.operators.dedup import (
 #: Stage names in pipeline (and attribution) order.
 CURATION_STAGES = ("gopher", "c4", "exact_dup", "near_dup")
 
+#: Opt-in stages, not part of the default pipeline. "containment" drops
+#: documents (mostly) contained in a kept larger document — quotations,
+#: partial scrapes, roll-ups — which symmetric Jaccard structurally misses.
+#: Off by default because containment of short snippets is corpus-policy
+#: (a legitimate pull-quote page is not always junk).
+OPTIONAL_STAGES = ("containment",)
+
 
 def curation_pipeline(
     docs: DataFrame,
@@ -43,22 +51,28 @@ def curation_pipeline(
     text_col: str = "text",
     exact_key_words: int | None = 5,
     jaccard_threshold: float = 0.05,
+    containment_threshold: float = 0.9,
     stages: tuple[str, ...] = CURATION_STAGES,
 ) -> DataFrame:
     """Per-document verdict: ``(id, gopher_keep, c4_keep, exact_keep,
-    neardup_keep, keep, reject_reason)``.
+    neardup_keep, containment_keep, keep, reject_reason)``.
 
     ``exact_key_words`` selects the exact-dup key: the first N words
     (None = full text). ``reject_reason`` is the FIRST failing stage in
-    pipeline order (gopher, c4, exact_dup, near_dup) or '' when kept —
-    mirroring how a staged job would attribute drops.
+    pipeline order (gopher, c4, exact_dup, near_dup, containment) or ''
+    when kept — mirroring how a staged job would attribute drops.
 
     ``stages`` selects which passes run (real pipelines tune this per
     corpus — C4's terminal-punctuation rule, e.g., is wrong for code or
     forum text). A disabled stage contributes ``keep=true`` and its flag
-    column stays in the schema, so consumers are shape-stable.
+    column stays in the schema, so consumers are shape-stable. The
+    opt-in ``"containment"`` stage (see :data:`OPTIONAL_STAGES`) drops
+    the CONTAINED side of directed gram-containment pairs
+    (:func:`wpextract_spark.operators.dedup.containment_pairs`), keeping
+    the containing document; on mutual containment the smaller id wins,
+    matching the exact-dup convention.
     """
-    unknown = set(stages) - set(CURATION_STAGES)
+    unknown = set(stages) - set(CURATION_STAGES) - set(OPTIONAL_STAGES)
     if unknown:
         raise ValueError(f"unknown curation stages: {sorted(unknown)}")
 
@@ -109,17 +123,45 @@ def curation_pipeline(
         out = flags.join(nd, id_col)
     else:
         out = flags.withColumn("neardup_keep", F.lit(True))
+
+    if "containment" in stages:
+        cp = containment_pairs(
+            docs, id_col, text_col, n=3, threshold=containment_threshold
+        )
+        # The contained (smaller) side is the direction with the strictly
+        # higher containment; on a tie (mutual containment — effectively a
+        # near-dup) drop id_b so the smaller id survives, matching the
+        # exact-dup min-id convention. Distinct ids only — one doc can be
+        # contained in many, and the join back must stay 1:1.
+        contained = F.when(
+            F.col("cont_a_in_b") > F.col("cont_b_in_a"), F.col("id_a")
+        ).otherwise(F.col("id_b"))
+        dropped = (
+            cp.select(contained.alias(id_col))
+            .distinct()
+            .withColumn("_contained", F.lit(True))
+        )
+        out = (
+            out.join(dropped, id_col, "left")
+            .withColumn("containment_keep", F.col("_contained").isNull())
+            .drop("_contained")
+        )
+    else:
+        out = out.withColumn("containment_keep", F.lit(True))
+
     keep = (
         F.col("gopher_keep")
         & F.col("c4_keep")
         & F.col("exact_keep")
         & F.col("neardup_keep")
+        & F.col("containment_keep")
     )
     reason = (
         F.when(~F.col("gopher_keep"), F.lit("gopher"))
         .when(~F.col("c4_keep"), F.lit("c4"))
         .when(~F.col("exact_keep"), F.lit("exact_dup"))
         .when(~F.col("neardup_keep"), F.lit("near_dup"))
+        .when(~F.col("containment_keep"), F.lit("containment"))
         .otherwise(F.lit(""))
     )
     return out.select(
@@ -128,6 +170,7 @@ def curation_pipeline(
         "c4_keep",
         "exact_keep",
         "neardup_keep",
+        "containment_keep",
         keep.alias("keep"),
         reason.alias("reject_reason"),
     )

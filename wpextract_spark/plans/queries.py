@@ -2248,6 +2248,7 @@ nd AS (
   SELECT d.doc_id, (cc.root IS NULL OR cc.root = d.doc_id) AS neardup_keep
   FROM documents d LEFT JOIN cc ON cc.n = d.doc_id)
 SELECT gq.doc_id, gopher_keep, c4_keep, exact_keep, neardup_keep,
+       TRUE AS containment_keep,
        (gopher_keep AND c4_keep AND exact_keep AND neardup_keep) AS keep,
        CASE WHEN NOT gopher_keep THEN 'gopher'
             WHEN NOT c4_keep THEN 'c4'
