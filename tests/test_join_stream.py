@@ -68,3 +68,48 @@ def test_stream_join_matches_batch(spark, tmp_path):
     }
     assert got == batch
     assert got == {(0, 0): 5.0, (0, 1): 7.0, (2, 3): 11.0}
+
+
+def test_stream_join_matches_oracled_range_join(spark, tmp_path):
+    """Equivalence against operators/rangejoin.py — the DRIVER-ORACLED
+    batch band join (q_range_join; both bounds inclusive, same contract as
+    the attribution window) — not merely the same join expression run in
+    batch."""
+    from wpextract_spark.operators.rangejoin import range_join
+
+    clicks = [(1, 0, 0.0), (1, 7200, 0.0), (2, 0, 0.0), (3, 50, 0.0)]
+    purchases = [
+        (1, 30, 5.0),
+        (1, 3600, 7.0),   # exactly at the +1h bound: both must include it
+        (1, 3601, 9.0),   # just past it: both must exclude it
+        (1, 7300, 15.0),  # inside click 1's window
+        (2, 1800, 11.0),
+        (4, 10, 13.0),    # user with no clicks
+    ]
+    cdf, pdf = _df(spark, clicks), _df(spark, purchases)
+    cdf.coalesce(1).write.parquet(str(tmp_path / "clicks"))
+    pdf.coalesce(1).write.parquet(str(tmp_path / "purch"))
+
+    q = run_attribution_stream(
+        spark,
+        str(tmp_path / "clicks"),
+        str(tmp_path / "purch"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r["c_id"], r["p_id"]): r["p_value"]
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    c_side, p_side = _sides(cdf)[0], _sides(pdf)[1]
+    banded = {
+        (r["c_id"], r["p_id"]): r["p_value"]
+        for r in range_join(
+            c_side, p_side, "c_user", "p_user", "c_ts", "p_ts", 3600
+        ).collect()
+    }
+    assert got == banded
+    assert (0, 1) in got and (0, 2) not in got  # inclusive upper bound
+    assert (1, 3) in got

@@ -435,12 +435,17 @@ def video_metadata(media: DataFrame, payload_col: str = "payload") -> DataFrame:
 
 
 def video_frame_stats(
-    media: DataFrame, every_n: int = 1, payload_col: str = "payload"
+    media: DataFrame,
+    every_n: int = 1,
+    payload_col: str = "payload",
+    container: str = "avi",
 ) -> DataFrame:
-    """REAL video frame sampling + decode: every ``every_n``-th frame of an
-    MJPEG AVI is extracted from the container (kernel/avicodec.py) and its
-    JPEG pixels decoded (kernel/jpegcodec.py); one output row per sampled
-    frame with exact integer pixel sums. This is the real path the
+    """REAL video frame sampling + decode: every ``every_n``-th frame is
+    extracted from the wrapper — ``container="avi"`` walks a RIFF/MJPEG-AVI
+    chunk tree (kernel/avicodec.py), ``container="mjpeg"`` splits a raw
+    concatenated-JPEG stream by marker walk (kernel/mjpegcodec.py) — and
+    its JPEG pixels decoded (kernel/jpegcodec.py); one output row per
+    sampled frame with exact integer pixel sums. This is the real path the
     ``frame_sample_stub`` plumbing models; inter-frame codecs (H.264 ...)
     still need ffmpeg and stay behind the ``decoder=`` seam. Undecodable
     payloads produce no rows (quarantine)."""
@@ -448,6 +453,11 @@ def video_frame_stats(
 
     from wpextract_spark.kernel.avicodec import avi_frames
     from wpextract_spark.kernel.jpegcodec import decode_jpeg
+    from wpextract_spark.kernel.mjpegcodec import mjpeg_frames
+
+    if container not in ("avi", "mjpeg"):
+        raise ValueError(f"unknown container: {container!r}")
+    extract = avi_frames if container == "avi" else mjpeg_frames
 
     def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
@@ -456,7 +466,7 @@ def video_frame_stats(
                 "height": [], "pixel_sum": [],
             }
             for media_id, payload in zip(batch["media_id"], batch[payload_col]):
-                frames = avi_frames(bytes(payload), every_n) if payload is not None else None
+                frames = extract(bytes(payload), every_n) if payload is not None else None
                 if not frames:
                     continue
                 for i, fb in enumerate(frames):
@@ -489,6 +499,22 @@ def gradient_video_build_udf():
     def _build(ids: pd.Series) -> pd.Series:
         return pd.Series(
             [build_gradient_video(int(i))[3] for i in ids], dtype="object"
+        )
+
+    return _build
+
+
+def gradient_mjpeg_stream_build_udf():
+    """doc_id -> deterministic RAW MJPEG STREAM payload
+    (sources/videogen.build_gradient_mjpeg_stream) — same frame arithmetic
+    as the AVI generator, so the same SQL oracle covers both wrappers."""
+    from wpextract_spark.sources.videogen import build_gradient_mjpeg_stream
+
+    @F.pandas_udf("binary")
+    def _build(ids: pd.Series) -> pd.Series:
+        return pd.Series(
+            [build_gradient_mjpeg_stream(int(i))[3] for i in ids],
+            dtype="object",
         )
 
     return _build

@@ -3404,6 +3404,25 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_frame_stats(media, every_n=2)
 
 
+def q_mjpeg_stream_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL frame sampling + decode from the SECOND video wrapper: a raw
+    MJPEG stream (concatenated JPEGs, IP-camera shape — no container at
+    all; kernel/mjpegcodec.py splits by JPEG marker walk). Same
+    deterministic frame arithmetic as q_video_frames' AVI generator
+    (sources/videogen.py), so ORACLE_VIDEO_FRAMES restates both wrappers —
+    proving the decode seam generalizes beyond one container format."""
+    from wpextract_spark.operators.multimodal import (
+        gradient_mjpeg_stream_build_udf,
+        video_frame_stats,
+    )
+
+    media = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        gradient_mjpeg_stream_build_udf()(F.col("doc_id")).alias("payload"),
+    )
+    return video_frame_stats(media, every_n=2, container="mjpeg")
+
+
 ORACLE_VIDEO_FRAMES = """
 WITH d AS (
   SELECT doc_id,
@@ -4446,6 +4465,7 @@ QUERIES = {
     # driver-green history lead and multi-round-green entries sit
     # at the tail (those are additionally pinned by the pytest
     # gate and byte-parity e2e).
+    "q_mjpeg_stream_frames": q_mjpeg_stream_frames,
     "q_containment_dups": q_containment_dups,
     "q_feed_parse": q_feed_parse,
     "q_compression_signal": q_compression_signal,
@@ -4603,6 +4623,7 @@ ORACLES = {
     "q_jpeg_pixels": ORACLE_JPEG_PIXELS,
     "q_bpe_encode": _oracle_bpe_encode(),
     "q_video_frames": ORACLE_VIDEO_FRAMES,
+    "q_mjpeg_stream_frames": ORACLE_VIDEO_FRAMES,
     "q_audio_pcm": ORACLE_AUDIO_PCM,
     "q_lm_perplexity": ORACLE_LM_PERPLEXITY,
     "q_semantic_dedup": _oracle_semantic_dedup(),

@@ -33,3 +33,21 @@ def build_gradient_video(doc_id: int) -> tuple[int, int, int, bytes]:
         for f in range(n_frames)
     ]
     return width, height, n_frames, build_avi_mjpeg(frames, width, height, FPS)
+
+
+def build_gradient_mjpeg_stream(doc_id: int) -> tuple[int, int, int, bytes]:
+    """Deterministic (width, height, n_frames, payload) RAW MJPEG STREAM
+    (concatenated JPEGs, no container — kernel/mjpegcodec.py) for a doc id.
+    Same frame arithmetic as :func:`build_gradient_video`, so the same SQL
+    oracle restates the decoded sums for either wrapper."""
+    from wpextract_spark.kernel.mjpegcodec import build_mjpeg_stream
+
+    width = 16 + doc_id % 48
+    height = 16 + (doc_id * 7) % 48
+    n_frames = 2 + doc_id % 6
+    base = (doc_id * 37) % 256
+    frames = [
+        build_jpeg_gradient(width, height, (base + f * 11) % 256)
+        for f in range(n_frames)
+    ]
+    return width, height, n_frames, build_mjpeg_stream(frames)
