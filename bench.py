@@ -189,6 +189,20 @@ def main() -> None:
     par = spark.sparkContext.defaultParallelism
     warm = spark.range(par * 4, numPartitions=par).mapInPandas(_ident, "id long")
     _force(warm.select(_warm(F.col("id").cast("double")).alias("x")))
+    # Also warm the paths the FIRST timed queries would otherwise pay for
+    # (registry order rotates per round, so whichever queries lead must not
+    # absorb one-time costs): the documents parquet footer/scan, a shuffle
+    # exchange, a broadcast join, and Janino codegen for join+agg shapes.
+    # Measured: the suite's lead queries ran ~1.7-2x their steady state
+    # before this, purely positional.
+    docs_warm = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id"
+    )
+    _force(
+        docs_warm.join(F.broadcast(docs_warm.limit(16)), "doc_id", "left")
+        .groupBy((F.col("doc_id") % 8).alias("k"))
+        .count()
+    )
 
     from wpextract_spark.operators import cache as op_cache
 
