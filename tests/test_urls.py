@@ -47,3 +47,44 @@ def test_url_dedup_keeps_min_id(spark):
     assert out[1] == ("https://example.org/p/1", True)
     assert out[2] == ("https://example.org/p/1", False)
     assert out[3] == ("https://example.org/p/2", True)
+
+
+def _surt(spark, urls):
+    from wpextract_spark.functions.urls import surt_key
+
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return [r[0] for r in df.select(surt_key("url")).collect()]
+
+
+def test_surt_key_rules(spark):
+    cases = {
+        # scheme dropped, www stripped, host reversed, rest casefolded,
+        # params canonical-sorted, fragment + tracking gone
+        "https://WWW.blog.Example.org/Post/7/?b=2&utm_source=x&a=1#top":
+            "org,example,blog)/post/7?a=1&b=2",
+        # http/https duplicates collapse to the same key
+        "http://blog.example.org/Post/7?a=1&b=2":
+            "org,example,blog)/post/7?a=1&b=2",
+        # default port dropped; non-default kept after the reversed host
+        "https://example.org:443/a": "org,example)/a",
+        "https://example.org:8080/a": "org,example:8080)/a",
+        # www2 mirrors collapse too; root path normalizes to ')/'
+        "https://www2.example.org": "org,example)/",
+        "https://example.org/": "org,example)/",
+    }
+    assert _surt(spark, list(cases)) == list(cases.values())
+
+
+def test_surt_gives_per_site_sort_locality(spark):
+    # every URL of a registered domain sorts adjacently — the property
+    # that makes SURT the right range-partitioning key for a crawl index
+    urls = [
+        "https://a.example.org/z",
+        "https://other.net/a",
+        "https://b.example.org/a",
+        "https://www.example.org/m",
+    ]
+    keys = sorted(_surt(spark, urls))
+    example = [k for k in keys if k.startswith("org,example")]
+    i = keys.index(example[0])
+    assert keys[i : i + len(example)] == example

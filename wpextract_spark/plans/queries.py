@@ -4458,6 +4458,274 @@ GROUP BY 1, 2
 """
 
 
+def q_surt_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURT canonical crawl-index keys (functions/urls.py::surt_key):
+    quadruplets of documents share one page behind four surface forms
+    (www + mixed-case path + fragment + tracking params / explicit
+    default ports / trailing slash / reordered params), and the SURT key
+    collapses the query-carrying variants while keeping the query-less
+    one distinct. The oracle restates canonicalization AND the SURT
+    transform (host reversal, www strip, rest-of-URL casefold) in SQL."""
+    from wpextract_spark.functions.urls import surt_key
+
+    docs = _t(spark, sf_dir, "documents")
+    base = F.floor(F.col("doc_id") / 4).cast("long")
+    k = (base % 20).cast("string")
+    b = base.cast("string")
+    v = F.col("doc_id") % 4
+    url = (
+        F.when(
+            v == 0,
+            F.concat(
+                F.lit("https://WWW.site"), k, F.lit(".example.org/Post/"),
+                b, F.lit("/?b=2&utm_source=feed&a=1#top"),
+            ),
+        )
+        .when(
+            v == 1,
+            F.concat(
+                F.lit("http://site"), k, F.lit(".example.org:80/Post/"),
+                b, F.lit("?a=1&b=2"),
+            ),
+        )
+        .when(
+            v == 2,
+            F.concat(
+                F.lit("https://site"), k, F.lit(".example.org:443/post/"),
+                b, F.lit("/"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://site"), k, F.lit(".example.org/post/"),
+                b, F.lit("?b=2&a=1&ref=feed"),
+            ),
+        )
+    )
+    urls = docs.select("doc_id", url.alias("url"))
+    return urls.select("doc_id", "url", surt_key("url").alias("surt"))
+
+
+ORACLE_SURT_KEYS = r"""
+WITH raw AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 0 THEN 'https://WWW.site' || ((doc_id // 4) % 20) ||
+                       '.example.org/Post/' || (doc_id // 4) ||
+                       '/?b=2&utm_source=feed&a=1#top'
+           WHEN 1 THEN 'http://site' || ((doc_id // 4) % 20) ||
+                       '.example.org:80/Post/' || (doc_id // 4) || '?a=1&b=2'
+           WHEN 2 THEN 'https://site' || ((doc_id // 4) % 20) ||
+                       '.example.org:443/post/' || (doc_id // 4) || '/'
+           ELSE 'https://site' || ((doc_id // 4) % 20) ||
+                '.example.org/post/' || (doc_id // 4) || '?b=2&a=1&ref=feed'
+         END AS url
+  FROM documents),
+s1 AS (SELECT doc_id, url, regexp_replace(url, '#.*', '') AS u FROM raw),
+s2 AS (
+  SELECT doc_id, url, u,
+         lower(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)', 1))
+           AS prefix
+  FROM s1),
+s3 AS (
+  SELECT doc_id, url,
+         CASE WHEN starts_with(prefix, 'https://') AND ends_with(prefix, ':443')
+                THEN prefix[1:length(prefix)-4]
+              WHEN starts_with(prefix, 'http://') AND ends_with(prefix, ':80')
+                THEN prefix[1:length(prefix)-3]
+              ELSE prefix END AS prefix,
+         u[length(prefix)+1:] AS rest
+  FROM s2),
+s4 AS (
+  SELECT doc_id, url, prefix,
+         CASE WHEN strpos(rest, '?') > 0 THEN rest[1:strpos(rest, '?')-1]
+              ELSE rest END AS path,
+         CASE WHEN strpos(rest, '?') > 0 THEN rest[strpos(rest, '?')+1:]
+              ELSE '' END AS query
+  FROM s3),
+s5 AS (
+  SELECT doc_id, url, prefix,
+         CASE WHEN length(path) > 1 AND ends_with(path, '/')
+              THEN path[1:length(path)-1] ELSE path END AS path,
+         list_sort(list_filter(string_split(query, '&'),
+           p -> p != '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref)(=.*)?$')))
+           AS params
+  FROM s4),
+c AS (
+  SELECT doc_id, url,
+         prefix || path ||
+         CASE WHEN len(params) > 0 THEN '?' || array_to_string(params, '&')
+              ELSE '' END AS canon
+  FROM s5),
+t1 AS (
+  SELECT doc_id, url, canon,
+         regexp_extract(canon, '^([a-z][a-z0-9+.-]*://[^/?#]*)', 1) AS prefix
+  FROM c),
+t2 AS (
+  SELECT doc_id, url,
+         regexp_extract(prefix, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1)
+           AS hostport,
+         CASE WHEN canon[length(prefix)+1:] = '' THEN '/'
+              ELSE lower(canon[length(prefix)+1:]) END AS rest
+  FROM t1),
+t3 AS (
+  SELECT doc_id, url, rest,
+         regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+         regexp_replace(regexp_replace(hostport, ':[0-9]+$', ''),
+                        '^www[0-9]*\.', '') AS host
+  FROM t2)
+SELECT doc_id, url,
+       array_to_string(list_reverse(string_split(host, '.')), ',') ||
+       CASE WHEN port <> '' THEN ':' || port ELSE '' END || ')' || rest
+         AS surt
+FROM t3
+"""
+
+
+def q_url_traps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawler-trap detection (operators/traps.py): a calendar host whose
+    every URL is one date template, a shop host minting md5 session-id
+    paths (hex-run mask), and three healthy sites whose busiest template
+    (/post/{N}) dominates its host but stays under the absolute URL
+    budget — exercising both halves of the AND. The oracle restates the
+    masking regexes and the integer cross-multiplied flag."""
+    from wpextract_spark.operators.traps import url_trap_signals
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = (
+        F.when(
+            d % 4 == 0,
+            F.concat(
+                F.lit("https://cal.example.org/events/"),
+                (d % 20 + 2000).cast("string"), F.lit("/"),
+                (d % 12 + 1).cast("string"), F.lit("/"), d.cast("string"),
+            ),
+        )
+        .when(
+            d % 4 == 1,
+            F.concat(
+                F.lit("https://shop.example.org/session/"),
+                F.md5(d.cast("string")),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://site"), (d % 3).cast("string"),
+                F.lit(".example.org"),
+                F.when(d % 5 == 0, F.lit("/about"))
+                .when(d % 5 == 1, F.lit("/contact"))
+                .when(d % 5 == 2, F.concat(F.lit("/post/"), d.cast("string")))
+                .when(
+                    d % 5 == 3,
+                    F.concat(F.lit("/tag/t"), (d % 7).cast("string")),
+                )
+                .otherwise(F.lit("/")),
+            )
+        )
+    )
+    return url_trap_signals(docs.select(url.alias("url")))
+
+
+ORACLE_URL_TRAPS = r"""
+WITH urls AS (
+  SELECT CASE
+    WHEN doc_id % 4 = 0 THEN 'https://cal.example.org/events/' ||
+      (doc_id % 20 + 2000) || '/' || (doc_id % 12 + 1) || '/' || doc_id
+    WHEN doc_id % 4 = 1 THEN 'https://shop.example.org/session/' ||
+      md5(doc_id::VARCHAR)
+    ELSE 'https://site' || (doc_id % 3) || '.example.org' ||
+      CASE doc_id % 5
+        WHEN 0 THEN '/about'
+        WHEN 1 THEN '/contact'
+        WHEN 2 THEN '/post/' || doc_id
+        WHEN 3 THEN '/tag/t' || (doc_id % 7)
+        ELSE '/' END
+    END AS url
+  FROM documents),
+shaped AS (
+  SELECT DISTINCT
+    lower(regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*)', 1))
+      AS host,
+    regexp_replace(regexp_replace(
+      CASE WHEN regexp_extract(url,
+             '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) = ''
+           THEN '/'
+           ELSE lower(regexp_extract(url,
+             '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1)) END,
+      '[0-9a-f]{8,}', '{H}', 'g'), '[0-9]+', '{N}', 'g') AS pattern,
+    url
+  FROM urls),
+counts AS (
+  SELECT host, pattern, count(*) AS n_urls FROM shaped GROUP BY 1, 2)
+SELECT host, pattern, n_urls,
+       (sum(n_urls) OVER (PARTITION BY host))::BIGINT AS host_urls,
+       n_urls >= 40 AND
+       n_urls * 100 >= sum(n_urls) OVER (PARTITION BY host) * 50 AS is_trap
+FROM counts
+"""
+
+
+def q_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation census (operators/sentences.py): documents
+    get deterministic sentence-y text mixing protected abbreviations
+    (Dr. / Mr. / No. / Fig. / e.g.), three terminator kinds, a
+    multi-terminator run, and an unterminated tail. Integer outputs
+    (counts and exact char totals) so the cross-engine hash has no float
+    rounding hazard; the oracle restates the protect/extract/restore
+    steps with RE2 regexes."""
+    from wpextract_spark.operators.sentences import sentence_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    text = F.concat(
+        F.lit("Dr. Watson met Mr. "),
+        F.substring(F.col("text"), 1, 30),
+        F.lit(". The case (No. "),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit(") was odd!! Was it? See Fig. 2 e.g. here. "),
+        F.substring(F.col("text"), 31, 40),
+    )
+    return sentence_stats(
+        docs.where(F.col("text").isNotNull())
+        .select("doc_id", text.alias("text"))
+    )
+
+
+ORACLE_SENTENCE_STATS = r"""
+WITH made AS (
+  SELECT doc_id,
+         'Dr. Watson met Mr. ' || substr(text, 1, 30) ||
+         '. The case (No. ' || (doc_id % 10) ||
+         ') was odd!! Was it? See Fig. 2 e.g. here. ' ||
+         substr(text, 31, 40) AS text
+  FROM documents WHERE text IS NOT NULL),
+prot AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(text, '\b([ei])\.([ge])\.',
+                          '\1' || chr(1) || '\2' || chr(1), 'g'),
+           '\b(Mr|Mrs|Ms|Dr|Prof|St|vs|etc|No|Fig|Jr|Sr|Inc|Ltd|cf|al)\.',
+           '\1' || chr(1), 'g') AS p
+  FROM made),
+sents AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(
+             regexp_extract_all(p, '[^.!?]+[.!?]+|[^.!?]+$'),
+             s -> trim(replace(s, chr(1), '.'))),
+           s -> s != '') AS arr
+  FROM prot)
+SELECT doc_id,
+       len(arr) AS n_sentences,
+       coalesce(list_sum(list_transform(arr, s -> length(s))), 0)::BIGINT
+         AS sentence_chars,
+       coalesce(list_max(list_transform(arr, s -> length(s))), 0)
+         AS max_sentence_len,
+       arr[1] AS first_sentence
+FROM sents
+"""
+
+
 QUERIES = {
     # --- Stalest-first driver-window ordering (maintained by
     # scripts/rotate_registry.py): the correctness driver checks
@@ -4468,6 +4736,9 @@ QUERIES = {
     "q_mjpeg_stream_frames": q_mjpeg_stream_frames,
     "q_containment_dups": q_containment_dups,
     "q_feed_parse": q_feed_parse,
+    "q_surt_keys": q_surt_keys,
+    "q_url_traps": q_url_traps,
+    "q_sentence_stats": q_sentence_stats,
     "q_compression_signal": q_compression_signal,
     "q_repetition_stats": q_repetition_stats,
     "q_gopher_quality": q_gopher_quality,
@@ -4574,6 +4845,9 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_surt_keys": ORACLE_SURT_KEYS,
+    "q_url_traps": ORACLE_URL_TRAPS,
+    "q_sentence_stats": ORACLE_SENTENCE_STATS,
     "q_extract_text_kernel": ORACLE_EXTRACT_TEXT,
     "q_extract_link_spans": ORACLE_LINK_SPANS,
     "q_extract_locale": ORACLE_LOCALE,
