@@ -4666,6 +4666,84 @@ FROM counts
 """
 
 
+def q_domain_priors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered-domain (eTLD+1) rollup (functions/domains.py): the
+    grouping key the per-source anti-dominance cap and domain quality
+    priors must use — subdomain fan-out (blog0-4.example.co.uk +
+    www.example.co.uk) folds into ONE publisher, two-label public
+    suffixes (co.uk, com.au) take the third label, IP literals and
+    single-label hosts pass through. The oracle restates the suffix rule
+    over the same literal suffix list."""
+    from wpextract_spark.functions.domains import registered_domain
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    host = (
+        F.when(
+            d % 6 == 0,
+            F.concat(
+                F.lit("blog"), (d % 5).cast("string"),
+                F.lit(".example.co.uk"),
+            ),
+        )
+        .when(d % 6 == 1, F.lit("www.example.co.uk"))
+        .when(
+            d % 6 == 2,
+            F.concat(
+                F.lit("shop"), (d % 7).cast("string"),
+                F.lit(".store.com.au"),
+            ),
+        )
+        .when(d % 6 == 3, F.lit("deep.sub.domain.example.org"))
+        .when(d % 6 == 4, F.lit("192.168.0.1"))
+        .otherwise(F.lit("localhost"))
+    )
+    return (
+        docs.select(registered_domain(host).alias("domain"), "n_chars")
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+def _oracle_domain_priors() -> str:
+    from wpextract_spark.functions.domains import MULTI_SUFFIXES
+
+    suffixes = ", ".join(f"'{s}'" for s in MULTI_SUFFIXES)
+    return rf"""
+WITH hosts AS (
+  SELECT doc_id, n_chars,
+         CASE doc_id % 6
+           WHEN 0 THEN 'blog' || (doc_id % 5) || '.example.co.uk'
+           WHEN 1 THEN 'www.example.co.uk'
+           WHEN 2 THEN 'shop' || (doc_id % 7) || '.store.com.au'
+           WHEN 3 THEN 'deep.sub.domain.example.org'
+           WHEN 4 THEN '192.168.0.1'
+           ELSE 'localhost' END AS host
+  FROM documents),
+lab AS (
+  SELECT n_chars,
+         lower(regexp_replace(host, '\.$', '')) AS h,
+         string_split(lower(regexp_replace(host, '\.$', '')), '.') AS labels
+  FROM hosts),
+reg AS (
+  SELECT n_chars,
+    CASE
+      WHEN regexp_matches(h, '^[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+$')
+           OR len(labels) <= 1 THEN h
+      WHEN len(labels) >= 3 AND
+           array_to_string(labels[len(labels)-1:], '.') IN ({suffixes})
+        THEN array_to_string(labels[len(labels)-2:], '.')
+      ELSE array_to_string(labels[len(labels)-1:], '.')
+    END AS domain
+  FROM lab)
+SELECT domain, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars
+FROM reg GROUP BY domain
+"""
+
+
 def q_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sentence segmentation census (operators/sentences.py): documents
     get deterministic sentence-y text mixing protected abbreviations
@@ -4739,6 +4817,7 @@ QUERIES = {
     "q_surt_keys": q_surt_keys,
     "q_url_traps": q_url_traps,
     "q_sentence_stats": q_sentence_stats,
+    "q_domain_priors": q_domain_priors,
     "q_compression_signal": q_compression_signal,
     "q_repetition_stats": q_repetition_stats,
     "q_gopher_quality": q_gopher_quality,
@@ -4848,6 +4927,7 @@ ORACLES = {
     "q_surt_keys": ORACLE_SURT_KEYS,
     "q_url_traps": ORACLE_URL_TRAPS,
     "q_sentence_stats": ORACLE_SENTENCE_STATS,
+    "q_domain_priors": _oracle_domain_priors(),
     "q_extract_text_kernel": ORACLE_EXTRACT_TEXT,
     "q_extract_link_spans": ORACLE_LINK_SPANS,
     "q_extract_locale": ORACLE_LOCALE,
