@@ -55,3 +55,39 @@ def test_no_shuffle_map_only(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_domain_link_graph_rollup(spark):
+    from wpextract_spark.operators.anchors import domain_link_graph
+
+    rows = [
+        # subdomain mesh of one publisher -> another domain
+        ("https://a.pub.co.uk/1", "https://news.example.org/x"),
+        ("https://b.pub.co.uk/2", "https://www.example.org/y"),
+        # intra-domain navigation (subdomain to subdomain)
+        ("https://a.pub.co.uk/1", "https://b.pub.co.uk/2"),
+    ]
+    df = spark.createDataFrame(rows, "src_url string, dst_url string")
+    out = {
+        (r["src_domain"], r["dst_domain"]): r.asDict()
+        for r in domain_link_graph(df).collect()
+    }
+    ext = out[("pub.co.uk", "example.org")]
+    assert ext["n_links"] == 2 and ext["intra"] is False
+    intra = out[("pub.co.uk", "pub.co.uk")]
+    assert intra["n_links"] == 1 and intra["intra"] is True
+    assert len(out) == 2
+
+
+def test_domain_link_graph_single_shuffle(spark):
+    from wpextract_spark.operators.anchors import domain_link_graph
+
+    df = spark.createDataFrame(
+        [("https://a.x.org/1", "https://b.y.org/2")],
+        "src_url string, dst_url string",
+    )
+    plan = (
+        domain_link_graph(df)._jdf.queryExecution()
+        .executedPlan().toString()
+    )
+    assert plan.count("Exchange") <= 1  # one hash agg on the domain pair

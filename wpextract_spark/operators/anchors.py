@@ -54,3 +54,45 @@ def anchor_text_agg(
             F.col("top.text_cnt").alias("top_text_cnt"),
         )
     )
+
+
+def domain_link_graph(
+    edges: DataFrame,
+    src_col: str = "src_url",
+    dst_col: str = "dst_url",
+) -> DataFrame:
+    """Roll a page-level link graph up to the registered-domain level:
+    ``(src_domain, dst_domain, n_links, intra)`` — the graph domain-level
+    PageRank, link-farm detection, and host-reputation priors run on.
+
+    Both endpoints map through
+    :func:`wpextract_spark.functions.domains.registered_domain` (eTLD+1),
+    so a publisher's subdomain mesh collapses into one node and ``intra``
+    separates self-promotion (navigation, subdomain cross-links) from
+    genuine endorsements — the distinction domain-trust signals key on.
+
+    100-TB design: one expression-level projection (host extract + suffix
+    rule, no UDF) then a single hash aggregation on the (src, dst) domain
+    pair with map-side partial combine. The domain-pair key space is
+    orders of magnitude smaller than the edge table, and the mega-pair
+    (everyone -> big-platform) is exactly the row partial aggregation
+    collapses before the shuffle. Output size is bounded by distinct
+    domain pairs, making the rollup the scale-safe input to iterative
+    graph algorithms (feed it to ``graphrank.pagerank`` weighted by
+    ``n_links``).
+    """
+    from wpextract_spark.functions.domains import registered_domain
+
+    host_re = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*)"
+    src_dom = registered_domain(
+        F.regexp_extract(F.col(src_col), host_re, 1)
+    ).alias("src_domain")
+    dst_dom = registered_domain(
+        F.regexp_extract(F.col(dst_col), host_re, 1)
+    ).alias("dst_domain")
+    return (
+        edges.select(src_dom, dst_dom)
+        .groupBy("src_domain", "dst_domain")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+        .withColumn("intra", F.col("src_domain") == F.col("dst_domain"))
+    )

@@ -4744,6 +4744,90 @@ FROM reg GROUP BY domain
 """
 
 
+def q_domain_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level link-graph rollup (operators/anchors.py::
+    domain_link_graph): page edges derive from lineitem keys with
+    subdomain-meshed co.uk sources and a www/.org + .co.uk dst mix, so
+    the eTLD+1 fold is doing real work (sub0-2.siteM.co.uk collapse into
+    siteM.co.uk; intra marks the self-promotion edges). One projection +
+    one hash agg on the domain pair. The oracle restates the host
+    extraction, the suffix rule over the same literal list, and the
+    rollup."""
+    from wpextract_spark.operators.anchors import domain_link_graph
+
+    li = _t(spark, sf_dir, "lineitem")
+    s = F.col("l_orderkey") % 50
+    t = F.col("l_partkey") % 40
+    src_url = F.concat(
+        F.lit("https://sub"), (s % 3).cast("string"),
+        F.lit(".site"), (s % 10).cast("string"),
+        F.lit(".co.uk/p/"), s.cast("string"),
+    )
+    dst_url = F.when(
+        F.col("l_partkey") % 2 == 0,
+        F.concat(
+            F.lit("https://www.example"), (t % 5).cast("string"),
+            F.lit(".org/x/"), t.cast("string"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("https://site"), (t % 10).cast("string"),
+            F.lit(".co.uk/p/"), t.cast("string"),
+        )
+    )
+    return domain_link_graph(
+        li.select(src_url.alias("src_url"), dst_url.alias("dst_url"))
+    )
+
+
+def _sql_registered_domain(host_expr: str) -> str:
+    """DuckDB restatement of functions/domains.py::registered_domain over
+    a host-valued SQL expression (same literal suffix list)."""
+    from wpextract_spark.functions.domains import MULTI_SUFFIXES
+
+    suffixes = ", ".join(f"'{s}'" for s in MULTI_SUFFIXES)
+    h = f"lower(regexp_replace({host_expr}, '\\.$', ''))"
+    labels = f"string_split({h}, '.')"
+    return rf"""CASE
+      WHEN regexp_matches({h}, '^[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+$')
+           OR len({labels}) <= 1 THEN {h}
+      WHEN len({labels}) >= 3 AND
+           array_to_string({labels}[len({labels})-1:], '.') IN ({suffixes})
+        THEN array_to_string({labels}[len({labels})-2:], '.')
+      ELSE array_to_string({labels}[len({labels})-1:], '.')
+    END"""
+
+
+def _oracle_domain_link_graph() -> str:
+    def host(col: str) -> str:
+        return (
+            f"regexp_extract({col}, "
+            "'^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*)', 1)"
+        )
+
+    src_rule = _sql_registered_domain(host("src_url"))
+    dst_rule = _sql_registered_domain(host("dst_url"))
+    return rf"""
+WITH e AS (
+  SELECT 'https://sub' || (l_orderkey % 50) % 3 || '.site' ||
+         (l_orderkey % 50) % 10 || '.co.uk/p/' || (l_orderkey % 50)
+           AS src_url,
+         CASE WHEN l_partkey % 2 = 0
+           THEN 'https://www.example' || (l_partkey % 40) % 5 || '.org/x/' ||
+                (l_partkey % 40)
+           ELSE 'https://site' || (l_partkey % 40) % 10 || '.co.uk/p/' ||
+                (l_partkey % 40) END AS dst_url
+  FROM lineitem),
+doms AS (
+  SELECT {src_rule} AS src_domain,
+         {dst_rule} AS dst_domain
+  FROM e)
+SELECT src_domain, dst_domain, count(*)::BIGINT AS n_links,
+       src_domain = dst_domain AS intra
+FROM doms GROUP BY src_domain, dst_domain
+"""
+
+
 def q_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sentence segmentation census (operators/sentences.py): documents
     get deterministic sentence-y text mixing protected abbreviations
@@ -4818,6 +4902,7 @@ QUERIES = {
     "q_url_traps": q_url_traps,
     "q_sentence_stats": q_sentence_stats,
     "q_domain_priors": q_domain_priors,
+    "q_domain_link_graph": q_domain_link_graph,
     "q_compression_signal": q_compression_signal,
     "q_repetition_stats": q_repetition_stats,
     "q_gopher_quality": q_gopher_quality,
@@ -4928,6 +5013,7 @@ ORACLES = {
     "q_url_traps": ORACLE_URL_TRAPS,
     "q_sentence_stats": ORACLE_SENTENCE_STATS,
     "q_domain_priors": _oracle_domain_priors(),
+    "q_domain_link_graph": _oracle_domain_link_graph(),
     "q_extract_text_kernel": ORACLE_EXTRACT_TEXT,
     "q_extract_link_spans": ORACLE_LINK_SPANS,
     "q_extract_locale": ORACLE_LOCALE,
