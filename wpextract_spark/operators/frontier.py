@@ -73,3 +73,48 @@ def frontier_priority(
         "tier",
         F.round(tier_score * weight + bonus, 6).alias("priority"),
     )
+
+
+def fetch_schedule(
+    prioritized: DataFrame,
+    default_delay: float = 1.0,
+) -> DataFrame:
+    """Turn prioritized frontier rows into a politeness-respecting fetch
+    plan: ``(url, host, fetch_rank, fetch_offset_s)``.
+
+    Within each host, URLs are ranked by descending priority (ties ->
+    lexicographically smallest url, deterministic across engines) and the
+    k-th fetch is offset ``(k-1) * crawl_delay`` seconds from the host's
+    first — the schedule a per-host token-bucket fetcher realizes.
+    Hosts without a declared delay use ``default_delay``.
+
+    Input: (url, host, priority) + optional crawl_delay column (from
+    robots directives via :func:`frontier_priority`'s politeness input).
+
+    Scale shape: ONE shuffle — the window keys on host, and per-host rows
+    are bounded by frontier-budgeting upstream (a crawl never schedules
+    millions of URLs on one host in one wave precisely because of the
+    delay math this computes: 100k urls x 1s delay is already a day).
+    The mega-host that WOULD skew the window is exactly the one the
+    offset arithmetic proves un-crawlable in a wave, so cap per-host
+    candidates upstream (e.g. top-N by priority per host via the same
+    window) rather than salting here.
+    """
+    from pyspark.sql import Window
+
+    cols = set(prioritized.columns)
+    delay = (
+        F.coalesce(F.col("crawl_delay"), F.lit(float(default_delay)))
+        if "crawl_delay" in cols
+        else F.lit(float(default_delay))
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.desc("priority"), F.asc("url")
+    )
+    rank = F.row_number().over(w).cast("long")
+    return prioritized.select(
+        "url",
+        "host",
+        rank.alias("fetch_rank"),
+        F.round((rank - F.lit(1)) * delay, 6).alias("fetch_offset_s"),
+    )

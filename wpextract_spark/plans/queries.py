@@ -4888,6 +4888,125 @@ FROM sents
 """
 
 
+def q_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-respecting fetch plan (operators/frontier.py::
+    fetch_schedule): the scheduler leg after frontier_priority — per-host
+    priority ranking with deterministic url tie-break, k-th fetch offset
+    (k-1)*crawl_delay seconds. Hosts exercise a declared slow delay, a
+    null delay (falls back to the default), and the fast path. The
+    oracle restates the window rank and the offset arithmetic (all
+    delays binary-exact, so round(6) is hash-stable)."""
+    from wpextract_spark.operators.frontier import fetch_schedule
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    frontier = docs.select(
+        F.concat(
+            F.lit("https://h"), (d % 7).cast("string"),
+            F.lit(".example.org/p/"), d.cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit("h"), (d % 7).cast("string"), F.lit(".example.org")
+        ).alias("host"),
+        (d % 13).cast("double").alias("priority"),
+        F.when(d % 7 == 0, F.lit(5.0))
+        .when(d % 7 == 1, F.lit(None).cast("double"))
+        .otherwise(F.lit(0.5))
+        .alias("crawl_delay"),
+    )
+    return fetch_schedule(frontier, default_delay=1.0)
+
+
+ORACLE_FETCH_SCHEDULE = r"""
+WITH frontier AS (
+  SELECT 'https://h' || (doc_id % 7) || '.example.org/p/' || doc_id AS url,
+         'h' || (doc_id % 7) || '.example.org' AS host,
+         (doc_id % 13)::DOUBLE AS priority,
+         CASE WHEN doc_id % 7 = 0 THEN 5.0::DOUBLE
+              WHEN doc_id % 7 = 1 THEN NULL
+              ELSE 0.5::DOUBLE END AS crawl_delay
+  FROM documents),
+ranked AS (
+  SELECT url, host,
+         row_number() OVER (PARTITION BY host
+                            ORDER BY priority DESC, url ASC)::BIGINT
+           AS fetch_rank,
+         coalesce(crawl_delay, 1.0::DOUBLE) AS delay
+  FROM frontier)
+SELECT url, host, fetch_rank,
+       round((fetch_rank - 1) * delay, 6)::DOUBLE AS fetch_offset_s
+FROM ranked
+"""
+
+
+def q_sentence_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-boundary-respecting chunker (operators/sentences.py::
+    sentence_chunks, chunk_chars=80): constructed five-sentence docs span
+    three chunks, so the offset window, the floor placement, and the
+    position-sorted rebuild all do real work. The oracle restates the
+    split, the cumulative start offsets, and the ORDER BY string
+    rebuild."""
+    from wpextract_spark.operators.sentences import sentence_chunks
+
+    docs = _t(spark, sf_dir, "documents")
+    text = F.concat(
+        F.substring(F.col("text"), 1, 35), F.lit(". "),
+        F.substring(F.col("text"), 36, 45), F.lit("! "),
+        F.substring(F.col("text"), 81, 30), F.lit("? "),
+        F.substring(F.col("text"), 111, 60), F.lit(". tail "),
+        (F.col("doc_id") % 5).cast("string"),
+    )
+    return sentence_chunks(
+        docs.where(F.col("text").isNotNull())
+        .select("doc_id", text.alias("text")),
+        chunk_chars=80,
+    )
+
+
+ORACLE_SENTENCE_CHUNKS = r"""
+WITH made AS (
+  SELECT doc_id,
+         substr(text, 1, 35) || '. ' || substr(text, 36, 45) || '! ' ||
+         substr(text, 81, 30) || '? ' || substr(text, 111, 60) ||
+         '. tail ' || (doc_id % 5) AS text
+  FROM documents WHERE text IS NOT NULL),
+prot AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(text, '\b([ei])\.([ge])\.',
+                          '\1' || chr(1) || '\2' || chr(1), 'g'),
+           '\b(Mr|Mrs|Ms|Dr|Prof|St|vs|etc|No|Fig|Jr|Sr|Inc|Ltd|cf|al)\.',
+           '\1' || chr(1), 'g') AS p
+  FROM made),
+sents AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(
+             regexp_extract_all(p, '[^.!?]+[.!?]+|[^.!?]+$'),
+             s -> trim(replace(s, chr(1), '.'))),
+           s -> s != '') AS arr
+  FROM prot),
+exploded AS (
+  SELECT doc_id, u.pos AS pos, arr[u.pos] AS sentence
+  FROM sents, LATERAL unnest(generate_series(1, len(arr))) AS u(pos)),
+placed AS (
+  SELECT doc_id, pos, sentence,
+         coalesce(sum(length(sentence) + 1) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS start_off
+  FROM exploded),
+chunks AS (
+  SELECT doc_id, (start_off // 80)::BIGINT AS chunk_id,
+         count(*)::BIGINT AS n_sentences,
+         string_agg(sentence, ' ' ORDER BY pos) AS chunk_text
+  FROM placed GROUP BY doc_id, start_off // 80)
+SELECT doc_id, chunk_id, n_sentences,
+       length(chunk_text)::BIGINT AS chunk_len, chunk_text
+FROM chunks
+"""
+
+
 QUERIES = {
     # --- Stalest-first driver-window ordering (maintained by
     # scripts/rotate_registry.py): the correctness driver checks
@@ -4903,6 +5022,8 @@ QUERIES = {
     "q_sentence_stats": q_sentence_stats,
     "q_domain_priors": q_domain_priors,
     "q_domain_link_graph": q_domain_link_graph,
+    "q_fetch_schedule": q_fetch_schedule,
+    "q_sentence_chunks": q_sentence_chunks,
     "q_compression_signal": q_compression_signal,
     "q_repetition_stats": q_repetition_stats,
     "q_gopher_quality": q_gopher_quality,
@@ -5014,6 +5135,8 @@ ORACLES = {
     "q_sentence_stats": ORACLE_SENTENCE_STATS,
     "q_domain_priors": _oracle_domain_priors(),
     "q_domain_link_graph": _oracle_domain_link_graph(),
+    "q_fetch_schedule": ORACLE_FETCH_SCHEDULE,
+    "q_sentence_chunks": ORACLE_SENTENCE_CHUNKS,
     "q_extract_text_kernel": ORACLE_EXTRACT_TEXT,
     "q_extract_link_spans": ORACLE_LINK_SPANS,
     "q_extract_locale": ORACLE_LOCALE,
