@@ -160,3 +160,52 @@ def test_cli_distributed_json_byte_identical(spark, tmp_path):
         assert rc == 0
     for f in sorted(gate.glob("*.json")):
         assert (dist / f.name).read_bytes() == f.read_bytes(), f.name
+
+
+def test_refresh_cli(spark, tmp_path):
+    """The recrawl refresh loop end-to-end from the CLI: kernel runs only
+    on changed/added pages, unchanged text carries verbatim, and the
+    metrics ledger matches the diff statuses."""
+    import json as _json
+
+    from wpextract_spark.cli import main
+    from wpextract_spark.plans.incremental import extract_pages
+    from wpextract_spark.sources.synth import generate_pages
+
+    crawl1 = generate_pages(spark, n_pages=30, seed=5, partitions=2)
+    prev_path = str(tmp_path / "prev")
+    extract_pages(crawl1).write.parquet(prev_path)
+
+    # crawl 2: pages 0-9 vanish, 10-19 change (html edit), 20-29 unchanged,
+    # plus 10 new pages from a different seed window
+    c1 = crawl1.collect()
+    from pyspark.sql import functions as F
+
+    changed = [
+        {**r.asDict(), "html": r["html"].replace(b"</body>", b"<p>new</p></body>")}
+        for r in c1[10:20]
+    ]
+    kept = [r.asDict() for r in c1[20:30]]
+    added = [r.asDict() for r in generate_pages(
+        spark, n_pages=40, seed=5, partitions=2).collect()[30:40]]
+    crawl2 = spark.createDataFrame(changed + kept + added, crawl1.schema)
+    pages_path = str(tmp_path / "crawl2")
+    crawl2.write.parquet(pages_path)
+
+    out = str(tmp_path / "refresh_out")
+    rc = main(["refresh", prev_path, pages_path, out])
+    assert rc == 0
+    with open(out + "/metrics.json") as fh:
+        m = _json.load(fh)
+    assert m["by_status"] == {
+        "added": 10, "changed": 10, "unchanged": 10, "removed": 10,
+    }
+    assert m["extracted"] == 20 and m["carried"] == 10
+    assert abs(m["kernel_savings"] - 10 / 30) < 1e-9
+
+    corpus = {r["url"]: r for r in spark.read.parquet(out + "/corpus").collect()}
+    assert len(corpus) == 30  # removed pages gone, added present
+    # carried rows are byte-identical to the previous run's text
+    prev_rows = {r["url"]: r for r in spark.read.parquet(prev_path).collect()}
+    for r in kept:
+        assert corpus[r["url"]]["text"] == prev_rows[r["url"]]["text"]

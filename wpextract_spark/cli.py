@@ -152,6 +152,33 @@ def build_parser() -> argparse.ArgumentParser:
     cb.add_argument("--no-curate", action="store_true")
     cb.add_argument("--master", default=None)
     cb.set_defaults(func=cmd_build_corpus)
+
+    rf = sub.add_parser(
+        "refresh",
+        help="Incrementally refresh an extracted corpus from a new crawl.",
+        description=(
+            "Diff a new crawl against the previous run's corpus "
+            "(url, page_fp, text) and run the extraction kernel ONLY on "
+            "added/changed pages; unchanged rows carry the previous text "
+            "verbatim. Writes corpus/ and diff/ parquet plus metrics.json "
+            "(per-status counts and the kernel-savings ratio)."
+        ),
+    )
+    rf.add_argument(
+        "prev_corpus", type=Path,
+        help="previous corpus parquet (url, page_fp, text)",
+    )
+    rf.add_argument(
+        "pages", type=Path,
+        help="new crawl: pages parquet, or WARC dir/glob with --input-format warc",
+    )
+    rf.add_argument("out_dir", type=Path, metavar="DIRECTORY")
+    rf.add_argument(
+        "--input-format", choices=["parquet", "warc"], default="parquet",
+        help="how to read the new crawl (same contract as build-corpus)",
+    )
+    rf.add_argument("--master", default=None)
+    rf.set_defaults(func=cmd_refresh)
     return parser
 
 
@@ -237,6 +264,36 @@ def cmd_build_corpus(args: argparse.Namespace) -> int:
         seq_len=args.seq_len,
         seqs_per_shard=args.seqs_per_shard,
     )
+    print(json.dumps(metrics, default=str))
+    return 0
+
+
+def cmd_refresh(args: argparse.Namespace) -> int:
+    try:
+        out_dir = _empty_directory(str(args.out_dir))
+    except argparse.ArgumentTypeError as e:
+        print(f"error: argument DIRECTORY: {e}", file=sys.stderr)
+        return 2
+
+    from wpextract_spark.plans.incremental import (
+        incremental_update,
+        update_metrics,
+    )
+    from wpextract_spark.session import get_session
+
+    spark = get_session("wpextract-spark-cli", master=args.master)
+    prev = spark.read.parquet(str(args.prev_corpus))
+    if args.input_format == "warc":
+        from wpextract_spark.sources.warc import read_warc_records, warc_to_pages
+
+        pages = warc_to_pages(read_warc_records(spark, str(args.pages)))
+    else:
+        pages = spark.read.parquet(str(args.pages))
+    corpus, diff = incremental_update(prev, pages)
+    corpus.write.parquet(str(out_dir / "corpus"))
+    diff.write.parquet(str(out_dir / "diff"))
+    metrics = update_metrics(diff)
+    (out_dir / "metrics.json").write_text(json.dumps(metrics, default=str))
     print(json.dumps(metrics, default=str))
     return 0
 
