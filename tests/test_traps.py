@@ -63,3 +63,31 @@ def test_volume_without_dominance_is_not_a_trap(spark):
     assert out["/post/{N}"]["n_urls"] == 45
     assert out["/post/{N}"]["is_trap"] is False
     assert out["/tag/x{N}y"]["is_trap"] is True  # 55 >= 40 and 55% >= 50%
+
+
+def test_pathological_path_rule(spark):
+    from wpextract_spark.operators.traps import pathological_path
+
+    cases = {
+        "https://a.example/a/b/b/b/c": True,      # 3 consecutive
+        "https://a.example/a/b/b/c": False,       # only 2
+        "https://a.example/g/g/g": True,
+        "https://a.example/x/y/z/x/y/z": False,   # repeated PAIR, not segment
+        "https://a.example/A/a/a": True,          # casefolded
+        "https://a.example/": False,              # too short / empty
+        "https://a.example": False,
+        "https://a.example/b//b//b": True,        # empty segments dropped
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = [r[0] for r in df.select(pathological_path("url")).collect()]
+    assert got == list(cases.values())
+
+
+def test_pathological_path_min_repeats(spark):
+    from wpextract_spark.operators.traps import pathological_path
+
+    df = spark.createDataFrame(
+        [("https://a.example/b/b/c",)], "url string"
+    )
+    assert df.select(pathological_path("url", min_repeats=2)).collect()[0][0]
+    assert not df.select(pathological_path("url", min_repeats=3)).collect()[0][0]

@@ -83,3 +83,29 @@ def url_trap_signals(
         (F.col("n_urls") >= F.lit(min_urls))
         & (F.col("n_urls") * 100 >= F.col("host_urls") * F.lit(share_pct)),
     )
+
+
+def pathological_path(url: Column | str, min_repeats: int = 3) -> Column:
+    """Heritrix's second classic trap rule (PathologicalPathDecideRule):
+    a path segment repeated ``min_repeats``-or-more times CONSECUTIVELY
+    (``/a/b/b/b/c``) marks self-referencing-link recursion — relative-href
+    bugs that mint ``/gallery/gallery/gallery/...`` forever.
+
+    Heritrix expresses this as a backreference regex (``(/[^/]+)\\1{2,}``);
+    RE2 engines have no backreferences, so this is array logic instead —
+    split the path into segments and test every window of ``min_repeats``
+    for equality — which both Spark (``exists`` over a ``sequence``) and
+    the DuckDB oracle (``list_contains`` over ``generate_series``) run
+    natively. Map-only, empty/short paths are False.
+    """
+    u = F.col(url) if isinstance(url, str) else url
+    path = F.lower(F.regexp_extract(u, PATH_RE, 1))
+    segs = F.filter(F.split(path, "/"), lambda s: s != "")
+    n = F.size(segs)
+    win = F.lit(int(min_repeats))
+    idx = F.sequence(F.lit(1), F.greatest(n - win + 1, F.lit(0)))
+    all_equal = lambda i: F.forall(  # noqa: E731
+        F.sequence(F.lit(1), win - 1),
+        lambda j: F.element_at(segs, i + j) == F.element_at(segs, i),
+    )
+    return F.when(n >= win, F.exists(idx, all_equal)).otherwise(F.lit(False))

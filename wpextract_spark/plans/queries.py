@@ -4888,6 +4888,65 @@ FROM sents
 """
 
 
+def q_pathological_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-segment-repeat trap rule (operators/traps.py::
+    pathological_path, Heritrix's PathologicalPathDecideRule): gallery-
+    recursion and /x/x/x hit, a two-repeat and a non-consecutive repeat
+    don't. RE2 has no backreferences, so BOTH engines run the windowed
+    array-equality formulation — Spark exists/forall over sequences, the
+    oracle list_filter over generate_series."""
+    from wpextract_spark.operators.traps import pathological_path
+
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://a.example.org"),
+        F.when(
+            d % 4 == 0,
+            F.concat(F.lit("/gallery/gallery/gallery/"), d.cast("string")),
+        )
+        .when(
+            d % 4 == 1,
+            F.concat(F.lit("/a/b/b/"), (d % 9).cast("string")),
+        )
+        .when(
+            d % 4 == 2,
+            F.concat(F.lit("/p/"), d.cast("string"), F.lit("/p")),
+        )
+        .otherwise(F.lit("/x/x/x")),
+    )
+    return docs.select(
+        "doc_id",
+        url.alias("url"),
+        pathological_path(url).alias("pathological"),
+    )
+
+
+ORACLE_PATHOLOGICAL_PATHS = r"""
+WITH u AS (
+  SELECT doc_id,
+         'https://a.example.org' ||
+         CASE doc_id % 4
+           WHEN 0 THEN '/gallery/gallery/gallery/' || doc_id
+           WHEN 1 THEN '/a/b/b/' || (doc_id % 9)
+           WHEN 2 THEN '/p/' || doc_id || '/p'
+           ELSE '/x/x/x' END AS url
+  FROM documents),
+s AS (
+  SELECT doc_id, url,
+         list_filter(string_split(lower(regexp_extract(url,
+           '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1)), '/'),
+           x -> x != '') AS segs
+  FROM u)
+SELECT doc_id, url,
+  CASE WHEN len(segs) >= 3 THEN
+    len(list_filter(generate_series(1, len(segs)-2),
+        i -> segs[i] = segs[i+1] AND segs[i+1] = segs[i+2])) > 0
+  ELSE FALSE END AS pathological
+FROM s
+"""
+
+
 def q_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Politeness-respecting fetch plan (operators/frontier.py::
     fetch_schedule): the scheduler leg after frontier_priority — per-host
@@ -5024,6 +5083,7 @@ QUERIES = {
     "q_domain_link_graph": q_domain_link_graph,
     "q_fetch_schedule": q_fetch_schedule,
     "q_sentence_chunks": q_sentence_chunks,
+    "q_pathological_paths": q_pathological_paths,
     "q_compression_signal": q_compression_signal,
     "q_repetition_stats": q_repetition_stats,
     "q_gopher_quality": q_gopher_quality,
@@ -5137,6 +5197,7 @@ ORACLES = {
     "q_domain_link_graph": _oracle_domain_link_graph(),
     "q_fetch_schedule": ORACLE_FETCH_SCHEDULE,
     "q_sentence_chunks": ORACLE_SENTENCE_CHUNKS,
+    "q_pathological_paths": ORACLE_PATHOLOGICAL_PATHS,
     "q_extract_text_kernel": ORACLE_EXTRACT_TEXT,
     "q_extract_link_spans": ORACLE_LINK_SPANS,
     "q_extract_locale": ORACLE_LOCALE,
